@@ -1,0 +1,271 @@
+"""The learned particle simulator: features, graph, model, integration.
+
+Functional re-design of the reference ``LearnedSimulator``
+(xrkong/sgnn sgnn/single_scale/learned_simulator.py:9-537). State lives in
+an explicit params pytree + a frozen config; every method is a pure
+function, so the whole pipeline (feature engineering -> radius graph ->
+GNN -> Euler integration) jits into a single XLA program and vmaps over
+batches.
+
+Behavioral contract preserved (SURVEY.md §2.2):
+  * node features = flattened normalized velocity finite differences
+    ((S-1)*dim values; v normalized by (v - mean)/std with the training
+    noise folded into std by the caller, train.py:446-457) + wall distance
+    clamp(x - wall_x, 0, R) (learned_simulator.py:282-284; optionally
+    divided by R — the multi-scale family's variant,
+    multi_scale_simulator.py:190-192) + optional particle-type embedding
+    when num_particle_types > 1.
+  * edge features = (p_sender - p_receiver)/R and its L2 norm
+    (learned_simulator.py:294-316).
+  * graph rebuilt from the most recent positions every call with strict
+    < R, self loops, per-receiver cap (learned_simulator.py:114-117).
+  * output head: dim accelerations + 1 strain channel
+    (learned_simulator.py:433-434).
+  * Euler integration with dt=1 (learned_simulator.py:397-411) and its
+    exact inverse for training targets (:493-517).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sgnn_tpu.models.encode_process_decode import (
+    EPDConfig,
+    encode_process_decode_apply,
+    encode_process_decode_init,
+)
+from sgnn_tpu.nn.core import Params, embedding_apply, embedding_init
+from sgnn_tpu.ops.neighbors import NeighborList, radius_neighbors
+
+
+class NormStats(NamedTuple):
+    """Normalization statistics (metadata-derived, noise folded into std)."""
+
+    vel_mean: jnp.ndarray  # [dim]
+    vel_std: jnp.ndarray  # [dim]
+    acc_mean: jnp.ndarray  # [dim]
+    acc_std: jnp.ndarray  # [dim]
+
+
+def make_norm_stats(metadata: dict, noise_std: float, dtype=jnp.float32) -> NormStats:
+    """Fold training noise into the velocity/acceleration std.
+
+    Mirrors _get_simulator (train.py:446-457): std = sqrt(std^2 + noise^2).
+    """
+    as_arr = lambda x: jnp.asarray(x, dtype)
+    return NormStats(
+        vel_mean=as_arr(metadata["vel_mean"]),
+        vel_std=jnp.sqrt(as_arr(metadata["vel_std"]) ** 2 + noise_std**2),
+        acc_mean=as_arr(metadata["acc_mean"]),
+        acc_std=jnp.sqrt(as_arr(metadata["acc_std"]) ** 2 + noise_std**2),
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class SimulatorConfig:
+    """Static hyperparameters of the single-scale simulator."""
+
+    dim: int = 2
+    latent_dim: int = 64
+    num_message_passing_steps: int = 5
+    num_mlp_layers: int = 1
+    connectivity_radius: float = 0.6
+    input_sequence_length: int = 11  # S: window of positions fed to the model
+    num_particle_types: int = 1
+    particle_type_embedding_size: int = 9
+    max_neighbors: int = 20
+    wall_x: float = -2.0  # rigid wall location (Taylor impact)
+    # False = single-scale contract (raw clamped distance); True = the
+    # multi-scale family's normalized variant.
+    normalize_wall_distance: bool = False
+    # Optional static spatial domain enabling the cell-list search path.
+    domain: Optional[Tuple[Tuple[float, ...], Tuple[float, ...]]] = None
+    neighbor_method: str = "auto"
+
+    @property
+    def node_in(self) -> int:
+        base = (self.input_sequence_length - 1) * self.dim + 1
+        if self.num_particle_types > 1:
+            base += self.particle_type_embedding_size
+        return base
+
+    @property
+    def edge_in(self) -> int:
+        return self.dim + 1
+
+    @property
+    def node_out(self) -> int:
+        return self.dim + 1  # accelerations + strain
+
+    def epd_config(self) -> EPDConfig:
+        return EPDConfig(
+            node_in=self.node_in,
+            edge_in=self.edge_in,
+            node_out=self.node_out,
+            latent_dim=self.latent_dim,
+            num_message_passing_steps=self.num_message_passing_steps,
+            num_mlp_layers=self.num_mlp_layers,
+        )
+
+
+def simulator_init(key: jax.Array, cfg: SimulatorConfig, dtype=jnp.float32) -> Params:
+    k_epd, k_emb = jax.random.split(key)
+    params: Params = {"epd": encode_process_decode_init(key=k_epd, cfg=cfg.epd_config(), dtype=dtype)}
+    if cfg.num_particle_types > 1:
+        params["type_embedding"] = embedding_init(
+            k_emb, cfg.num_particle_types, cfg.particle_type_embedding_size, dtype
+        )
+    return params
+
+
+def time_diff(position_sequence: jnp.ndarray) -> jnp.ndarray:
+    """Finite-difference velocities (learned_simulator.py:540-550).
+
+    [N, S, dim] -> [N, S-1, dim].
+    """
+    return position_sequence[:, 1:] - position_sequence[:, :-1]
+
+
+def compute_neighbors(
+    cfg: SimulatorConfig,
+    positions: jnp.ndarray,
+    node_mask: Optional[jnp.ndarray] = None,
+) -> NeighborList:
+    """Radius graph from current positions (learned_simulator.py:70-124)."""
+    return radius_neighbors(
+        positions,
+        cfg.connectivity_radius,
+        max_neighbors=cfg.max_neighbors,
+        include_self=True,
+        node_mask=node_mask,
+        strict=True,
+        domain=cfg.domain,
+        method=cfg.neighbor_method,
+    )
+
+
+def encoder_preprocess(
+    params: Params,
+    cfg: SimulatorConfig,
+    stats: NormStats,
+    position_sequence: jnp.ndarray,  # [N, S, dim]
+    particle_types: jnp.ndarray,  # [N] int32
+    node_mask: Optional[jnp.ndarray] = None,  # [N] bool
+) -> Tuple[jnp.ndarray, jnp.ndarray, NeighborList]:
+    """Features + graph (learned_simulator.py:231-316).
+
+    Returns (node_features [N, node_in], edge_features [N, K, dim+1], nl).
+    """
+    n = position_sequence.shape[0]
+    most_recent = position_sequence[:, -1]  # [N, dim]
+    velocities = time_diff(position_sequence)  # [N, S-1, dim]
+
+    nl = compute_neighbors(cfg, most_recent, node_mask)
+
+    # --- node features ----------------------------------------------------
+    norm_vel = (velocities - stats.vel_mean) / stats.vel_std
+    feats = [norm_vel.reshape(n, -1)]
+
+    wall = jnp.clip(
+        most_recent[:, 0:1] - cfg.wall_x, 0.0, cfg.connectivity_radius
+    )
+    if cfg.normalize_wall_distance:
+        wall = wall / cfg.connectivity_radius
+    feats.append(wall)
+
+    if cfg.num_particle_types > 1:
+        feats.append(embedding_apply(params["type_embedding"], particle_types))
+    node_features = jnp.concatenate(feats, axis=-1)
+
+    # --- edge features: (p_sender - p_receiver)/R, plus norm --------------
+    disp = (most_recent[nl.senders] - most_recent[:, None, :]) / cfg.connectivity_radius
+    dist = jnp.linalg.norm(disp, axis=-1, keepdims=True)
+    edge_features = jnp.concatenate([disp, dist], axis=-1)  # [N, K, dim+1]
+    edge_features = edge_features * nl.mask[..., None].astype(edge_features.dtype)
+
+    return node_features, edge_features, nl
+
+
+def decoder_postprocess(
+    stats: NormStats,
+    normalized_acceleration: jnp.ndarray,  # [N, dim]
+    position_sequence: jnp.ndarray,  # [N, S, dim]
+) -> jnp.ndarray:
+    """Denormalize + Euler integrate, dt=1 (learned_simulator.py:381-411)."""
+    acceleration = normalized_acceleration * stats.acc_std + stats.acc_mean
+    most_recent = position_sequence[:, -1]
+    velocity = most_recent - position_sequence[:, -2]
+    new_velocity = velocity + acceleration
+    return most_recent + new_velocity
+
+
+def inverse_decoder_postprocess(
+    stats: NormStats,
+    next_position: jnp.ndarray,  # [N, dim]
+    position_sequence: jnp.ndarray,  # [N, S, dim]
+) -> jnp.ndarray:
+    """Exact inverse of the Euler update (learned_simulator.py:493-517)."""
+    previous = position_sequence[:, -1]
+    previous_velocity = previous - position_sequence[:, -2]
+    next_velocity = next_position - previous
+    acceleration = next_velocity - previous_velocity
+    return (acceleration - stats.acc_mean) / stats.acc_std
+
+
+def _forward(
+    params: Params,
+    cfg: SimulatorConfig,
+    stats: NormStats,
+    position_sequence: jnp.ndarray,
+    particle_types: jnp.ndarray,
+    node_mask: Optional[jnp.ndarray],
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    node_f, edge_f, nl = encoder_preprocess(
+        params, cfg, stats, position_sequence, particle_types, node_mask
+    )
+    pred = encode_process_decode_apply(params["epd"], node_f, edge_f, nl)
+    return pred[:, : cfg.dim], pred[:, -1]
+
+
+def predict_positions(
+    params: Params,
+    cfg: SimulatorConfig,
+    stats: NormStats,
+    current_positions: jnp.ndarray,  # [N, S, dim]
+    particle_types: jnp.ndarray,
+    node_mask: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Inference step: next positions + strain (learned_simulator.py:413-438)."""
+    norm_acc, strain = _forward(
+        params, cfg, stats, current_positions, particle_types, node_mask
+    )
+    next_positions = decoder_postprocess(stats, norm_acc, current_positions)
+    return next_positions, strain
+
+
+def predict_accelerations(
+    params: Params,
+    cfg: SimulatorConfig,
+    stats: NormStats,
+    next_positions: jnp.ndarray,  # [N, dim]
+    position_sequence_noise: jnp.ndarray,  # [N, S, dim]
+    position_sequence: jnp.ndarray,  # [N, S, dim]
+    particle_types: jnp.ndarray,
+    node_mask: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Training forward: predicted + target normalized accelerations, strain.
+
+    The target is computed on the noise-adjusted next position so velocity
+    noise cancels exactly (learned_simulator.py:440-491).
+    """
+    noisy = position_sequence + position_sequence_noise
+    pred_acc, pred_strain = _forward(
+        params, cfg, stats, noisy, particle_types, node_mask
+    )
+    next_adjusted = next_positions + position_sequence_noise[:, -1]
+    target_acc = inverse_decoder_postprocess(stats, next_adjusted, noisy)
+    return pred_acc, target_acc, pred_strain
