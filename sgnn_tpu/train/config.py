@@ -1,0 +1,90 @@
+"""YAML config + CLI overrides.
+
+Key names intentionally match the reference's config.yaml
+(sgnn/single_scale/config.yaml) so configs translate 1:1; TPU-specific
+additions (padding, sharding, dtype) live under the same flat namespace
+with defaults that reproduce reference behavior.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import List, Optional, Tuple
+
+import yaml
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    # Mode & paths (config.yaml:5-13)
+    mode: str = "train"  # train | valid | rollout
+    data_path: str = "datasets/taylor_impact_2d/data_processed/"
+    model_path: str = "models/single_scale/"
+    output_path: str = "rollouts/single_scale/"
+
+    # Model (config.yaml:15-21)
+    layers: int = 5
+    hidden_dim: int = 64
+    dim: int = 2
+    particle_type_embedding_size: int = 9
+    input_sequence_length: int = 11
+    connection_radius: float = 0.6
+
+    # Training (config.yaml:23-27)
+    batch_size: int = 32
+    noise_std: float = 0.02
+    ntraining_steps: int = 100_000
+    nsave_steps: int = 2000
+
+    # Loss weights (config.yaml:29-31)
+    loss_weight_position: float = 1.0
+    loss_weight_strain: float = 1.0
+
+    # LR schedule (config.yaml:33-36)
+    lr_init: float = 1e-3
+    lr_decay: float = 0.1
+    lr_decay_steps: int = 30_000
+
+    # Logging (config.yaml:38-41)
+    log: bool = False
+    project_name: str = "Taylor_impact_2d"
+    run_name: str = "single_scale_default"
+
+    # Model loading (config.yaml:43-46)
+    model_file: Optional[str] = None
+    train_state_file: Optional[str] = None
+
+    # Inference (config.yaml:48-51)
+    inference_mode: str = "autoregressive"
+    debug_graph: bool = False
+
+    # --- TPU-native additions ------------------------------------------------
+    pad_multiple: int = 128  # node-count padding granularity
+    # Static spatial domain for the cell-list neighbor search; None -> O(N^2).
+    domain_min: Optional[List[float]] = None
+    domain_max: Optional[List[float]] = None
+    # Device mesh: number of data-parallel shards (1 = single chip).
+    data_parallel: int = 1
+    seed: int = 0
+    log_every: int = 10
+
+    @property
+    def domain(self) -> Optional[Tuple[Tuple[float, ...], Tuple[float, ...]]]:
+        if self.domain_min is None or self.domain_max is None:
+            return None
+        return (tuple(self.domain_min), tuple(self.domain_max))
+
+
+def load_config(path: str | Path, overrides: Optional[dict] = None) -> TrainConfig:
+    with open(path) as f:
+        raw = yaml.safe_load(f) or {}
+    known = {f.name for f in dataclasses.fields(TrainConfig)}
+    unknown = set(raw) - known
+    if unknown:
+        raise ValueError(f"Unknown config keys in {path}: {sorted(unknown)}")
+    cfg = TrainConfig(**raw)
+    for k, v in (overrides or {}).items():
+        if v is not None:
+            setattr(cfg, k, v)
+    return cfg

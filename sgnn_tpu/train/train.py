@@ -1,0 +1,385 @@
+"""Single-scale training / validation / rollout driver.
+
+TPU-native re-design of the reference trainer
+(sgnn/single_scale/train.py:185-556):
+  * the entire step — noise sampling, radius-graph build, model forward,
+    loss, Adam update — is ONE jitted XLA program over fixed-shape
+    [B, N_pad, ...] batches (no per-step host work beyond the feed),
+  * batches vmap over graphs instead of concatenating particles,
+  * data parallelism shards the batch axis over a jax.sharding Mesh; XLA
+    inserts the gradient all-reduce,
+  * optax Adam with the reference's exponential schedule
+    lr_init * decay^(step/decay_steps) + 1e-6 (train.py:276-278),
+  * best-only checkpointing on validation rollout loss with resume
+    (train.py:300-391), metric names match the reference wandb schema.
+
+CLI (mirrors train.py:494-556):
+  python -m sgnn_tpu.train.train --config configs/taylor2d.yaml \
+      [--mode train|valid|rollout] [--model_file NAME] [--log True|False]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+import pickle
+import sys
+import time
+from pathlib import Path
+from typing import Optional
+
+import jax
+
+# Honor JAX_PLATFORMS even in environments whose sitecustomize pins the
+# platform list after import. This must happen BEFORE importing anything that
+# can initialize the backend (orbax does at import), or the override is moot
+# and every closed-over constant routes through the remote TPU tunnel.
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from sgnn_tpu.data.loader import SampleBatcher, TrajectoryLoader, load_metadata
+from sgnn_tpu.physics.noise import random_walk_position_noise
+from sgnn_tpu.physics.rollout import rollout as rollout_fn
+from sgnn_tpu.physics.simulator import (
+    NormStats,
+    SimulatorConfig,
+    make_norm_stats,
+    predict_accelerations,
+    simulator_init,
+)
+from sgnn_tpu.train.checkpoint import CheckpointManager
+from sgnn_tpu.train.config import TrainConfig, load_config
+from sgnn_tpu.train.metrics import MetricLogger
+from sgnn_tpu.utils.resource_monitor import ResourceMonitor
+
+
+# --------------------------------------------------------------------------
+# wiring
+# --------------------------------------------------------------------------
+
+
+def simulator_config_from(cfg: TrainConfig, metadata: dict) -> SimulatorConfig:
+    return SimulatorConfig(
+        dim=cfg.dim,
+        latent_dim=cfg.hidden_dim,
+        num_message_passing_steps=cfg.layers,
+        num_mlp_layers=1,  # reference single-scale uses 1 (train.py:475)
+        connectivity_radius=cfg.connection_radius,
+        input_sequence_length=cfg.input_sequence_length,
+        num_particle_types=int(metadata.get("num_particle_types", 1)),
+        particle_type_embedding_size=cfg.particle_type_embedding_size,
+        max_neighbors=20,
+        domain=cfg.domain,
+    )
+
+
+def lr_schedule(cfg: TrainConfig):
+    def sched(step):
+        return cfg.lr_init * cfg.lr_decay ** (step / cfg.lr_decay_steps) + 1e-6
+
+    return sched
+
+
+def make_train_step(sim_cfg: SimulatorConfig, stats: NormStats, cfg: TrainConfig, tx):
+    """Build the jitted (state, batch, key) -> (state, metrics) step."""
+
+    def loss_fn(params, batch, key):
+        noise = random_walk_position_noise(
+            key, batch["positions"].shape, cfg.noise_std
+        )
+
+        def per_graph(pos, nxt, noi, types, mask):
+            return predict_accelerations(
+                params, sim_cfg, stats, nxt, noi, pos, types, mask
+            )
+
+        pred_acc, target_acc, pred_strain = jax.vmap(per_graph)(
+            batch["positions"],
+            batch["next_position"],
+            noise,
+            batch["particle_type"],
+            batch["node_mask"],
+        )
+        mask = batch["node_mask"].astype(pred_acc.dtype)  # [B, N]
+        denom = jnp.maximum(jnp.sum(mask), 1.0)
+
+        sq_acc = (pred_acc - target_acc) ** 2  # [B, N, dim]
+        loss_pos = jnp.sum(sq_acc, axis=-1)  # reference sums dims (train.py:261)
+        loss_strain = (pred_strain - batch["next_strain"]) ** 2
+        loss = (
+            cfg.loss_weight_position * loss_pos
+            + cfg.loss_weight_strain * loss_strain
+        )
+        loss = jnp.sum(loss * mask) / denom
+
+        loss_xy = jnp.sum(sq_acc * mask[..., None], axis=(0, 1)) / denom
+        aux = {
+            "train/loss-position": jnp.sum(loss_pos * mask) / denom,
+            "train/loss-strain": jnp.sum(loss_strain * mask) / denom,
+            "train/loss-x": loss_xy[0],
+            "train/loss-y": loss_xy[1],
+        }
+        if sim_cfg.dim == 3:
+            aux["train/loss-z"] = loss_xy[2]
+        return loss, aux
+
+    @jax.jit
+    def train_step(state, batch, key):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state["params"], batch, key
+        )
+        updates, opt_state = tx.update(grads, state["opt_state"], state["params"])
+        params = optax.apply_updates(state["params"], updates)
+        new_state = {
+            "params": params,
+            "opt_state": opt_state,
+            "step": state["step"] + 1,
+        }
+        metrics = {"train/loss": loss, **aux}
+        return new_state, metrics
+
+    return train_step
+
+
+def evaluate_split(
+    params,
+    sim_cfg: SimulatorConfig,
+    stats: NormStats,
+    cfg: TrainConfig,
+    loader: TrajectoryLoader,
+    jit_rollout,
+):
+    """Run rollouts over a trajectory loader; return per-case outputs + summary."""
+    outputs, losses = [], {"total": [], "position": [], "strain": [], "one_step": []}
+    for traj in loader:
+        t0 = time.time()
+        out = jit_rollout(
+            params,
+            jnp.asarray(traj["positions"]),
+            jnp.asarray(traj["particle_type"]),
+            jnp.asarray(traj["strains"]),
+            jnp.asarray(traj["node_mask"]),
+        )
+        out = {k: np.asarray(v) for k, v in out.items()}
+        out["run_time"] = time.time() - t0
+        outputs.append(out)
+        losses["position"].append(out["rmse_position"][-1])
+        losses["strain"].append(out["rmse_strain"][-1])
+        losses["total"].append(out["rmse_position"][-1] + out["rmse_strain"][-1])
+        losses["one_step"].append(out["rmse_position"][0] + out["rmse_strain"][0])
+    summary = {k: float(np.mean(v)) for k, v in losses.items() if v}
+    return outputs, summary
+
+
+def make_jit_rollout(sim_cfg: SimulatorConfig, stats: NormStats, mode: str):
+    @functools.partial(jax.jit, static_argnames=())
+    def _rollout(params, positions, types, strains, node_mask):
+        return rollout_fn(
+            params, sim_cfg, stats, positions, types, strains,
+            node_mask=node_mask, inference_mode=mode,
+        )
+
+    return _rollout
+
+
+# --------------------------------------------------------------------------
+# drivers
+# --------------------------------------------------------------------------
+
+
+def train(cfg: TrainConfig) -> dict:
+    data_dir = Path(cfg.data_path)
+    metadata = load_metadata(data_dir)
+    sim_cfg = simulator_config_from(cfg, metadata)
+    stats = make_norm_stats(metadata, cfg.noise_std)
+
+    key = jax.random.key(cfg.seed)
+    key, init_key = jax.random.split(key)
+    params = simulator_init(init_key, sim_cfg)
+    tx = optax.adam(learning_rate=lr_schedule(cfg))
+    state = {
+        "params": params,
+        "opt_state": tx.init(params),
+        "step": jnp.asarray(0, jnp.int32),
+    }
+
+    ckpt_dir = Path(cfg.model_path) / cfg.run_name
+    ckpt = CheckpointManager(ckpt_dir)
+    lowest_eval_loss = float("inf")
+    if cfg.model_file is not None:
+        state, meta = ckpt.restore(state, cfg.model_file)
+        lowest_eval_loss = meta.get("lowest_eval_loss") or float("inf")
+        print(f"resumed from {cfg.model_file} at step {int(state['step'])}")
+
+    batcher = SampleBatcher(
+        data_dir / "train.npz",
+        cfg.input_sequence_length,
+        cfg.batch_size,
+        pad_multiple=cfg.pad_multiple,
+        seed=cfg.seed,
+    )
+    valid_loader = TrajectoryLoader(data_dir / "valid.npz", pad_multiple=cfg.pad_multiple)
+    train_step = make_train_step(sim_cfg, stats, cfg, tx)
+    jit_rollout = make_jit_rollout(sim_cfg, stats, cfg.inference_mode)
+    logger = MetricLogger(
+        ckpt_dir, use_wandb=cfg.log, project=cfg.project_name, run_name=cfg.run_name
+    )
+    monitor = ResourceMonitor()
+    sched = lr_schedule(cfg)
+
+    print(
+        f"training: layers={cfg.layers} hidden={cfg.hidden_dim} "
+        f"batch={cfg.batch_size} nodes_padded={batcher.num_nodes} "
+        f"steps={cfg.ntraining_steps} device={jax.devices()[0].platform}"
+    )
+
+    step = int(state["step"])
+    t_last = time.time()
+    try:
+        for batch in batcher.epochs():
+            if step >= cfg.ntraining_steps:
+                break
+            key, step_key = jax.random.split(key)
+            device_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            state, metrics = train_step(state, device_batch, step_key)
+            step += 1
+
+            if step % cfg.log_every == 0:
+                metrics = {k: float(v) for k, v in metrics.items()}
+                metrics["lr"] = float(sched(step))
+                metrics["train/vram_mb"] = monitor.get_current_memory()
+                dt = (time.time() - t_last) / cfg.log_every
+                t_last = time.time()
+                metrics["train/step_time_s"] = dt
+                logger.log(metrics, step)
+                print(
+                    f"step {step}: loss={metrics['train/loss']:.6f} "
+                    f"pos={metrics['train/loss-position']:.6f} "
+                    f"strain={metrics['train/loss-strain']:.6f} "
+                    f"({dt*1e3:.0f} ms/step)"
+                )
+
+            if step % cfg.nsave_steps == 0 and step > 0:
+                print(f"validating at step {step}...")
+                monitor.start()
+                _, summary = evaluate_split(
+                    state["params"], sim_cfg, stats, cfg, valid_loader, jit_rollout
+                )
+                val_stats = monitor.stop()
+                logger.log(
+                    {
+                        "val/loss": summary["total"],
+                        "val/loss-position": summary["position"],
+                        "val/loss-strain": summary["strain"],
+                        "val/rmse-oneStep": summary["one_step"],
+                        "val/runtime": val_stats["elapsed_time"],
+                        "val/vram_mb": val_stats["max_memory_mb"],
+                    },
+                    step,
+                )
+                print(
+                    f"  val loss={summary['total']:.6f} "
+                    f"(best {lowest_eval_loss:.6f}), {val_stats['elapsed_time']:.1f}s"
+                )
+                if summary["total"] < lowest_eval_loss:
+                    lowest_eval_loss = summary["total"]
+                    path = ckpt.save_best(state, step, lowest_eval_loss)
+                    print(f"  new best -> {path.name}")
+    except KeyboardInterrupt:
+        print("training interrupted")
+
+    if lowest_eval_loss == float("inf"):
+        path = ckpt.save_final(state, step)
+        print(f"no validation ran; saved fallback {path.name}")
+    logger.close()
+    return {"step": step, "lowest_eval_loss": lowest_eval_loss}
+
+
+def predict(cfg: TrainConfig) -> dict:
+    """Rollout over valid (mode=valid) or test (mode=rollout) trajectories."""
+    data_dir = Path(cfg.data_path)
+    metadata = load_metadata(data_dir)
+    sim_cfg = simulator_config_from(cfg, metadata)
+    stats = make_norm_stats(metadata, cfg.noise_std)
+
+    params = simulator_init(jax.random.key(0), sim_cfg)
+    if cfg.model_file is None:
+        print("error: valid/rollout modes require model_file", file=sys.stderr)
+        sys.exit(1)
+    ckpt = CheckpointManager(Path(cfg.model_path) / cfg.run_name)
+    # Checkpoints store the full train state; rebuild its topology to restore.
+    tx = optax.adam(learning_rate=lr_schedule(cfg))
+    state = {
+        "params": params,
+        "opt_state": tx.init(params),
+        "step": jnp.asarray(0, jnp.int32),
+    }
+    restored, _ = ckpt.restore(state, cfg.model_file)
+    params = restored["params"]
+
+    split = "test" if cfg.mode == "rollout" else "valid"
+    loader = TrajectoryLoader(data_dir / f"{split}.npz", pad_multiple=cfg.pad_multiple)
+    jit_rollout = make_jit_rollout(sim_cfg, stats, cfg.inference_mode)
+
+    monitor = ResourceMonitor()
+    monitor.start()
+    outputs, summary = evaluate_split(params, sim_cfg, stats, cfg, loader, jit_rollout)
+    run_stats = monitor.stop()
+
+    if cfg.mode == "rollout":
+        save_dir = Path(cfg.output_path) / cfg.run_name
+        save_dir.mkdir(parents=True, exist_ok=True)
+        case_names = metadata.get(f"file_{split}", [])
+        for i, out in enumerate(outputs):
+            name = (
+                case_names[i].replace(".npz", "")
+                if i < len(case_names)
+                else f"rollout_{i}"
+            )
+            out["metadata"] = metadata
+            out["case_name"] = name
+            out["inference_mode"] = cfg.inference_mode
+            with open(save_dir / f"{name}.pkl", "wb") as f:
+                pickle.dump(out, f)
+        print(f"saved {len(outputs)} rollout pickles to {save_dir}")
+
+    print("=" * 70)
+    print("rollout summary")
+    print(f"  mean loss: {summary.get('total', float('nan')):.6f}")
+    print(f"  total runtime: {run_stats['elapsed_time']:.2f}s")
+    if outputs:
+        print(f"  avg per rollout: {run_stats['elapsed_time'] / len(outputs):.2f}s")
+    print(f"  peak device mem: {run_stats['max_memory_mb']:.1f}MB")
+    print("=" * 70)
+    return summary
+
+
+def main(argv: Optional[list] = None):
+    parser = argparse.ArgumentParser(description="Single-scale GNN training (TPU)")
+    parser.add_argument("--config", type=str, required=True)
+    parser.add_argument("--mode", type=str, choices=["train", "valid", "rollout"])
+    parser.add_argument("--model_file", type=str)
+    parser.add_argument("--log", type=str, choices=["True", "False"])
+    args = parser.parse_args(argv)
+
+    overrides = {
+        "mode": args.mode,
+        "model_file": args.model_file,
+        "log": None if args.log is None else args.log == "True",
+    }
+    cfg = load_config(args.config, overrides)
+    print(f"config loaded from {args.config}; mode={cfg.mode}")
+
+    if cfg.mode == "train":
+        train(cfg)
+    else:
+        predict(cfg)
+
+
+if __name__ == "__main__":
+    main()
