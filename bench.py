@@ -1,0 +1,143 @@
+"""Benchmark: edges/s/chip through the message-passing training step.
+
+Runs the flagship single-scale training step (noise + radius graph +
+5-layer encode-process-decode + loss + Adam) at reference scale
+(~4797 particles/graph, r=0.6, K=20, hidden 64, 11-frame window) on the
+available accelerator and reports the north-star metric from
+BASELINE.json: message-passing edge updates per second per chip
+(real edges x message-passing layers / step time).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+
+vs_baseline: the reference publishes no numbers (BASELINE.md), so the
+baseline is self-measured: the round-1 value recorded in BASELINE.md
+(BASELINE_EDGES_PER_S). Ratios > 1 mean speedup over round 1.
+"""
+
+import json
+import os
+import time
+
+import jax
+
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from sgnn_tpu.physics.simulator import NormStats, SimulatorConfig, simulator_init
+from sgnn_tpu.train.config import TrainConfig
+from sgnn_tpu.train.train import make_train_step
+
+# Self-baseline: first end-to-end measurement (round 1, unoptimized XLA-only
+# path, TPU v5e, 2026-08-17; recorded in BASELINE.md). vs_baseline > 1 means
+# speedup over that starting point.
+BASELINE_EDGES_PER_S = 3.368e6
+
+BATCH = 8
+N_PARTICLES = 4797
+S = 11
+LAYERS = 5
+HIDDEN = 64
+WARMUP = 2
+ITERS = 10
+
+
+def lattice(n, spacing=0.5):
+    ny = max(int(np.sqrt(n / 4)), 2)
+    nx = -(-n // ny)
+    xs, ys = np.meshgrid(np.arange(nx) * spacing, np.arange(ny) * spacing, indexing="ij")
+    pos = np.stack([xs.ravel() - 1.0, ys.ravel()], -1).astype(np.float32)
+    return pos[:n]
+
+
+def main():
+    dev = jax.devices()[0]
+    sim_cfg = SimulatorConfig(
+        dim=2,
+        latent_dim=HIDDEN,
+        num_message_passing_steps=LAYERS,
+        input_sequence_length=S,
+        connectivity_radius=0.6,
+        max_neighbors=20,
+        domain=((-5.0, -30.0), (80.0, 30.0)),
+    )
+    stats = NormStats(
+        vel_mean=jnp.zeros(2), vel_std=jnp.ones(2),
+        acc_mean=jnp.zeros(2), acc_std=jnp.ones(2),
+    )
+    cfg = TrainConfig(
+        batch_size=BATCH, noise_std=0.02, input_sequence_length=S,
+        hidden_dim=HIDDEN, layers=LAYERS,
+    )
+
+    params = simulator_init(jax.random.key(0), sim_cfg)
+    tx = optax.adam(1e-3)
+    state = {
+        "params": params,
+        "opt_state": tx.init(params),
+        "step": jnp.asarray(0, jnp.int32),
+    }
+
+    rng = np.random.default_rng(0)
+    pos = lattice(N_PARTICLES)
+    n = pos.shape[0]
+    batch = {
+        "positions": jnp.asarray(
+            pos[None, :, None, :]
+            + rng.normal(scale=0.002, size=(BATCH, n, S, 2)).cumsum(2).astype(np.float32)
+        ),
+        "next_position": jnp.asarray(
+            pos[None] + rng.normal(scale=0.004, size=(BATCH, n, 2)).astype(np.float32)
+        ),
+        "next_strain": jnp.asarray(rng.normal(size=(BATCH, n)).astype(np.float32)),
+        "particle_type": jnp.zeros((BATCH, n), jnp.int32),
+        "node_mask": jnp.ones((BATCH, n), bool),
+    }
+
+    # Count real edges once (same positions the step sees, minus noise).
+    from sgnn_tpu.physics.simulator import compute_neighbors
+
+    nl = compute_neighbors(sim_cfg, batch["positions"][0, :, -1])
+    edges_per_graph = int(nl.count_edges())
+
+    train_step = make_train_step(sim_cfg, stats, cfg, tx)
+    key = jax.random.key(1)
+
+    for _ in range(WARMUP):
+        state, metrics = train_step(state, batch, key)
+    jax.block_until_ready(metrics)
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        state, metrics = train_step(state, batch, key)
+    jax.block_until_ready(metrics)
+    dt = (time.perf_counter() - t0) / ITERS
+
+    edge_updates = BATCH * edges_per_graph * LAYERS
+    edges_per_s = edge_updates / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "mp_edge_updates_per_s_per_chip",
+                "value": round(edges_per_s, 1),
+                "unit": "edges/s",
+                "vs_baseline": round(edges_per_s / BASELINE_EDGES_PER_S, 3),
+                "step_time_ms": round(dt * 1e3, 2),
+                "edges_per_graph": edges_per_graph,
+                "batch": BATCH,
+                "layers": LAYERS,
+                "hidden": HIDDEN,
+                "n_particles": n,
+                "device": str(dev),
+                "loss": float(metrics["train/loss"]),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

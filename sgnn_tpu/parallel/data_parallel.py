@@ -1,0 +1,40 @@
+"""Data-parallel training over a device mesh.
+
+Batch graphs shard along the leading axis over the 'data' mesh axis;
+params and optimizer state replicate. The loss is a masked mean over all
+particles in the global batch, so GSPMD inserts the gradient all-reduce
+over ICI — no hand-written collectives on this path (they live in
+edge_partition.py, where XLA can't infer them).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+from jax.sharding import Mesh
+
+from sgnn_tpu.parallel.mesh import batch_sharding, replicated
+
+
+def shard_batch(mesh: Mesh, batch: dict) -> dict:
+    """Device_put every batch array with its leading axis over 'data'."""
+    return {
+        k: jax.device_put(v, batch_sharding(mesh, v.ndim)) for k, v in batch.items()
+    }
+
+
+def make_dp_train_step(train_step: Callable, mesh: Mesh) -> Callable:
+    """Wrap a (state, batch, key) -> (state, metrics) step for the mesh.
+
+    The inner `train_step` is already jitted; constraining the inputs is
+    enough for GSPMD to propagate shardings through the whole program.
+    """
+    rep = replicated(mesh)
+
+    def dp_step(state, batch, key):
+        state = jax.device_put(state, rep)
+        batch = shard_batch(mesh, batch)
+        return train_step(state, batch, key)
+
+    return dp_step

@@ -1,0 +1,214 @@
+"""Static multi-scale graph hierarchy (host-side, numpy).
+
+Re-derivation of the reference hierarchy builder
+(sgnn/multi_scale/multi_scale_graph.py:14-281): a grid->mesh1->mesh2...
+coarsening built ONCE per trajectory from its t=0 positions
+(static_graph_data_loader.py:101-113) and reused for every timestep —
+the hierarchy deliberately does not track deformation.
+
+This runs on the host at data-loading time (it is per-trajectory setup,
+not per-step compute), so a clear numpy implementation is the right
+tool; the TPU-facing output is a set of fixed-size padded COO edge
+arrays (PaddedEdges) that jit/vmap consume with static shapes.
+
+Semantics preserved:
+  * coarsening by strided coordinate subsampling: every window_size-th
+    unique x and y coordinate, chained global indices across scales
+    (:139-191),
+  * grid<->mesh edges by filtering ONE grid radius graph (r =
+    radius_multiplier * grid_spacing, self-loops, per-receiver cap 24)
+    on mesh membership of target (g2m) / source (m2g) (:193-242),
+  * per-scale mesh2mesh radius graphs over the sampled positions with
+    r = scale_spacing * radius_multiplier, remapped to global grid
+    indices and concatenated over scales (:245-281).
+
+Neighbor cap note: torch_cluster caps incoming edges per *query* node;
+we reproduce the per-receiver cap with deterministic lowest-index
+truncation (parity tests avoid cap-binding configs, SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, NamedTuple
+
+import numpy as np
+from scipy.spatial import cKDTree
+
+
+@dataclasses.dataclass(frozen=True)
+class MultiScaleConfig:
+    """Mirrors multi_scale_graph.py:14-36 (grid_spacing fixed at 0.5)."""
+
+    num_scales: int = 3
+    window_size: int = 3
+    radius_multiplier: float = 2.0
+    grid_spacing: float = 0.5
+    max_neighbors: int = 24
+
+    def __post_init__(self):
+        if self.num_scales < 2:
+            raise ValueError(
+                f"num_scales must be >= 2 (grid + >=1 mesh level), got {self.num_scales}"
+            )
+
+    @property
+    def grid_radius(self) -> float:
+        return self.radius_multiplier * self.grid_spacing
+
+    def scale_spacing(self, scale: int) -> float:
+        return self.grid_spacing * self.window_size**scale
+
+    def scale_radius(self, scale: int) -> float:
+        return self.scale_spacing(scale) * self.radius_multiplier
+
+    @property
+    def coarsest_radius(self) -> float:
+        return self.scale_radius(self.num_scales - 1)
+
+
+class CooEdges(NamedTuple):
+    """Variable-length COO edges (host-side intermediate)."""
+
+    senders: np.ndarray  # [E]
+    receivers: np.ndarray  # [E]
+
+
+def _radius_edges(
+    positions: np.ndarray, r: float, max_neighbors: int
+) -> CooEdges:
+    """Radius graph matching reference semantics: strict < r, self loops,
+    per-receiver cap keeping lowest sender indices. Edge = (sender j,
+    receiver i) with j within r of i."""
+    tree = cKDTree(positions)
+    senders, receivers = [], []
+    # query_ball_point with strict inequality: shrink r by epsilon-free
+    # approach — filter exact distances afterwards.
+    neighbor_lists = tree.query_ball_point(positions, r)
+    for i, nbrs in enumerate(neighbor_lists):
+        nbrs = np.sort(np.asarray(nbrs, np.int64))
+        d = np.linalg.norm(positions[nbrs] - positions[i], axis=-1)
+        nbrs = nbrs[d < r]
+        nbrs = nbrs[:max_neighbors]
+        senders.append(nbrs)
+        receivers.append(np.full(len(nbrs), i, np.int64))
+    return CooEdges(np.concatenate(senders), np.concatenate(receivers))
+
+
+def build_hierarchy(cfg: MultiScaleConfig, grid_positions: np.ndarray) -> Dict[int, dict]:
+    """Strided coordinate subsampling with chained global indices."""
+    n = grid_positions.shape[0]
+    hierarchy = {
+        0: {
+            "sampling_indices": np.arange(n, dtype=np.int64),
+            "spacing": cfg.grid_spacing,
+            "num_particles": n,
+        }
+    }
+    current_positions = grid_positions
+    current_spacing = cfg.grid_spacing
+    for scale in range(1, cfg.num_scales):
+        dims = current_positions.shape[1]
+        masks = []
+        for d in range(dims):
+            coords = current_positions[:, d]
+            sampled = np.unique(coords)[:: cfg.window_size]
+            masks.append(np.isin(coords, sampled))
+        mask = np.logical_and.reduce(masks)
+        local_idx = np.where(mask)[0]
+        parent_global = hierarchy[scale - 1]["sampling_indices"]
+        global_idx = parent_global[local_idx]
+        current_positions = current_positions[local_idx]
+        current_spacing = current_spacing * cfg.window_size
+        hierarchy[scale] = {
+            "sampling_indices": global_idx,
+            "spacing": current_spacing,
+            "num_particles": len(global_idx),
+        }
+    return hierarchy
+
+
+def create_all_edges(cfg: MultiScaleConfig, grid_positions: np.ndarray) -> dict:
+    """Full static graph: hierarchy + g2m/m2m/m2g COO edges (global ids)."""
+    grid_positions = np.asarray(grid_positions, np.float64)
+    hierarchy = build_hierarchy(cfg, grid_positions)
+
+    # grid<->mesh from one grid radius graph filtered on mesh membership
+    grid_edges = _radius_edges(grid_positions, cfg.grid_radius, cfg.max_neighbors)
+    mesh_indices = hierarchy[1]["sampling_indices"]
+    is_mesh = np.zeros(len(grid_positions), bool)
+    is_mesh[mesh_indices] = True
+    g2m_mask = is_mesh[grid_edges.receivers]  # target is mesh
+    m2g_mask = is_mesh[grid_edges.senders]  # source is mesh
+    g2m = CooEdges(grid_edges.senders[g2m_mask], grid_edges.receivers[g2m_mask])
+    m2g = CooEdges(grid_edges.senders[m2g_mask], grid_edges.receivers[m2g_mask])
+
+    # per-scale mesh2mesh radius graphs, remapped to global grid indices
+    m2m_s: List[np.ndarray] = []
+    m2m_r: List[np.ndarray] = []
+    for scale in range(1, cfg.num_scales):
+        idx = hierarchy[scale]["sampling_indices"]
+        pos = grid_positions[idx]
+        e = _radius_edges(pos, cfg.scale_radius(scale), cfg.max_neighbors)
+        m2m_s.append(idx[e.senders])
+        m2m_r.append(idx[e.receivers])
+    m2m = CooEdges(np.concatenate(m2m_s), np.concatenate(m2m_r))
+
+    return {
+        "graph_hierarchy": hierarchy,
+        "grid2mesh_edges": g2m,
+        "mesh2mesh_edges": m2m,
+        "mesh2grid_edges": m2g,
+    }
+
+
+class PaddedEdges(NamedTuple):
+    """Fixed-size COO edges for XLA: receiver-sorted with validity mask."""
+
+    senders: np.ndarray  # int32[E_pad]
+    receivers: np.ndarray  # int32[E_pad]
+    mask: np.ndarray  # bool[E_pad]
+
+
+def pad_edges(edges: CooEdges, e_pad: int) -> PaddedEdges:
+    e = len(edges.senders)
+    if e > e_pad:
+        raise ValueError(f"edge count {e} exceeds pad size {e_pad}")
+    order = np.argsort(edges.receivers, kind="stable")
+    s = np.zeros(e_pad, np.int32)
+    r = np.zeros(e_pad, np.int32)
+    m = np.zeros(e_pad, bool)
+    s[:e] = edges.senders[order]
+    r[:e] = edges.receivers[order]
+    m[:e] = True
+    return PaddedEdges(s, r, m)
+
+
+class StaticGraph(NamedTuple):
+    """The jit-facing static multi-scale graph of one trajectory.
+
+    Pure array pytree (vmaps over a batch axis); the edge-feature
+    normalization radii are static and derive from MultiScaleConfig
+    (grid radius for g2m/m2g, coarsest-scale radius for m2m —
+    multi_scale_simulator.py:203-238).
+    """
+
+    g2m: PaddedEdges
+    m2m: PaddedEdges
+    m2g: PaddedEdges
+
+
+def build_static_graph(
+    cfg: MultiScaleConfig,
+    grid_positions: np.ndarray,
+    *,
+    g2m_pad: int,
+    m2m_pad: int,
+    m2g_pad: int,
+) -> StaticGraph:
+    out = create_all_edges(cfg, grid_positions)
+    return StaticGraph(
+        g2m=pad_edges(out["grid2mesh_edges"], g2m_pad),
+        m2m=pad_edges(out["mesh2mesh_edges"], m2m_pad),
+        m2g=pad_edges(out["mesh2grid_edges"], m2g_pad),
+    )
