@@ -59,6 +59,12 @@ class TrainConfig:
     inference_mode: str = "autoregressive"
     debug_graph: bool = False
 
+    # Multi-scale family (multi_scale_config.yaml:15-18)
+    num_scales: int = 2
+    window_size: int = 2
+    radius_multiplier: float = 2.0
+    edge_pad_multiple: int = 1024
+
     # --- TPU-native additions ------------------------------------------------
     pad_multiple: int = 128  # node-count padding granularity
     # Static spatial domain for the cell-list neighbor search; None -> O(N^2).

@@ -1,0 +1,350 @@
+"""Multi-scale training / validation / rollout driver.
+
+Counterpart of the reference sgnn/multi_scale/multi_scale_train.py
+(:79-447) with the same TPU-native step structure as
+sgnn_tpu.train.train: one jitted program per step, static-graph batches
+vmapped over [B, ...], best-only checkpoints.
+
+Family differences mirrored from the reference:
+  * nmlp_layers=2 (multi_scale_train.py:335 vs 1 single-scale),
+  * static per-trajectory graphs attached by the loader (set per batch,
+    :143) — here batched per-sample, fixing the first-sample collate
+    caveat,
+  * validation uses per-trajectory rollouts like single-scale; the
+    reference's multi-scale evaluator logs per-step RMSE
+    (multi_scale_evaluate.py:185-196) — both cumulative and final-step
+    values are derivable from our cumulative metric and logged.
+
+CLI:
+  python -m sgnn_tpu.train.train_multi_scale --config configs/taylor2d_multi_scale.yaml \
+      [--mode train|valid|rollout] [--model_file NAME] [--log True|False]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+import sys
+import time
+from pathlib import Path
+from typing import Optional
+
+import jax
+
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from sgnn_tpu.data.loader import load_metadata
+from sgnn_tpu.data.static_graph_loader import (
+    MultiScaleSampleBatcher,
+    MultiScaleTrajectoryLoader,
+)
+from sgnn_tpu.physics.multi_scale_simulator import (
+    MultiScaleSimulatorConfig,
+    ms_predict_accelerations,
+    ms_rollout,
+    multi_scale_simulator_init,
+)
+from sgnn_tpu.physics.noise import random_walk_position_noise
+from sgnn_tpu.physics.simulator import NormStats, make_norm_stats
+from sgnn_tpu.train.checkpoint import CheckpointManager
+from sgnn_tpu.train.config import TrainConfig, load_config
+from sgnn_tpu.train.metrics import MetricLogger
+from sgnn_tpu.utils.resource_monitor import ResourceMonitor
+
+
+def ms_config_from(cfg: TrainConfig, metadata: dict) -> MultiScaleSimulatorConfig:
+    return MultiScaleSimulatorConfig(
+        dim=cfg.dim,
+        latent_dim=cfg.hidden_dim,
+        num_message_passing_steps=cfg.layers,
+        num_mlp_layers=2,
+        input_sequence_length=cfg.input_sequence_length,
+        num_particle_types=int(metadata.get("num_particle_types", 1)),
+        particle_type_embedding_size=cfg.particle_type_embedding_size,
+        num_scales=cfg.num_scales,
+        window_size=cfg.window_size,
+        radius_multiplier=cfg.radius_multiplier,
+    )
+
+
+def lr_schedule(cfg: TrainConfig):
+    def sched(step):
+        return cfg.lr_init * cfg.lr_decay ** (step / cfg.lr_decay_steps) + 1e-6
+
+    return sched
+
+
+def make_train_step(sim_cfg: MultiScaleSimulatorConfig, stats: NormStats, cfg: TrainConfig, tx):
+    def loss_fn(params, batch, key):
+        noise = random_walk_position_noise(key, batch["positions"].shape, cfg.noise_std)
+
+        def per_graph(pos, nxt, noi, types, graph):
+            return ms_predict_accelerations(
+                params, sim_cfg, stats, nxt, noi, pos, types, graph
+            )
+
+        pred_acc, target_acc, pred_strain = jax.vmap(per_graph)(
+            batch["positions"],
+            batch["next_position"],
+            noise,
+            batch["particle_type"],
+            batch["graph"],
+        )
+        mask = batch["node_mask"].astype(pred_acc.dtype)
+        denom = jnp.maximum(jnp.sum(mask), 1.0)
+        sq_acc = (pred_acc - target_acc) ** 2
+        loss_pos = jnp.sum(sq_acc, axis=-1)
+        loss_strain = (pred_strain - batch["next_strain"]) ** 2
+        loss = (
+            cfg.loss_weight_position * loss_pos
+            + cfg.loss_weight_strain * loss_strain
+        )
+        loss = jnp.sum(loss * mask) / denom
+        aux = {
+            "train/loss-position": jnp.sum(loss_pos * mask) / denom,
+            "train/loss-strain": jnp.sum(loss_strain * mask) / denom,
+        }
+        return loss, aux
+
+    @jax.jit
+    def train_step(state, batch, key):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state["params"], batch, key
+        )
+        updates, opt_state = tx.update(grads, state["opt_state"], state["params"])
+        params = optax.apply_updates(state["params"], updates)
+        return (
+            {"params": params, "opt_state": opt_state, "step": state["step"] + 1},
+            {"train/loss": loss, **aux},
+        )
+
+    return train_step
+
+
+def make_jit_rollout(sim_cfg, stats, mode):
+    @jax.jit
+    def _rollout(params, positions, types, strains, node_mask, graph):
+        return ms_rollout(
+            params, sim_cfg, stats, positions, types, strains, graph,
+            node_mask=node_mask, inference_mode=mode,
+        )
+
+    return _rollout
+
+
+def evaluate_split(params, loader, jit_rollout):
+    outputs, losses = [], {"total": [], "position": [], "strain": [], "one_step": []}
+    for traj in loader:
+        t0 = time.time()
+        out = jit_rollout(
+            params,
+            jnp.asarray(traj["positions"]),
+            jnp.asarray(traj["particle_type"]),
+            jnp.asarray(traj["strains"]),
+            jnp.asarray(traj["node_mask"]),
+            jax.tree.map(jnp.asarray, traj["graph"]),
+        )
+        out = {k: np.asarray(v) for k, v in out.items()}
+        out["run_time"] = time.time() - t0
+        outputs.append(out)
+        losses["position"].append(out["rmse_position"][-1])
+        losses["strain"].append(out["rmse_strain"][-1])
+        losses["total"].append(out["rmse_position"][-1] + out["rmse_strain"][-1])
+        losses["one_step"].append(out["rmse_position"][0] + out["rmse_strain"][0])
+    summary = {k: float(np.mean(v)) for k, v in losses.items() if v}
+    return outputs, summary
+
+
+def train(cfg: TrainConfig) -> dict:
+    data_dir = Path(cfg.data_path)
+    metadata = load_metadata(data_dir)
+    sim_cfg = ms_config_from(cfg, metadata)
+    stats = make_norm_stats(metadata, cfg.noise_std)
+
+    key = jax.random.key(cfg.seed)
+    key, init_key = jax.random.split(key)
+    params = multi_scale_simulator_init(init_key, sim_cfg)
+    tx = optax.adam(learning_rate=lr_schedule(cfg))
+    state = {
+        "params": params,
+        "opt_state": tx.init(params),
+        "step": jnp.asarray(0, jnp.int32),
+    }
+
+    ckpt_dir = Path(cfg.model_path) / cfg.run_name
+    ckpt = CheckpointManager(ckpt_dir)
+    lowest_eval_loss = float("inf")
+    if cfg.model_file is not None:
+        state, meta = ckpt.restore(state, cfg.model_file)
+        lowest_eval_loss = meta.get("lowest_eval_loss") or float("inf")
+        print(f"resumed from {cfg.model_file} at step {int(state['step'])}")
+
+    ms_graph_cfg = sim_cfg.graph_config
+    batcher = MultiScaleSampleBatcher(
+        data_dir / "train.npz",
+        cfg.input_sequence_length,
+        cfg.batch_size,
+        ms_cfg=ms_graph_cfg,
+        pad_multiple=cfg.pad_multiple,
+        edge_pad_multiple=cfg.edge_pad_multiple,
+        seed=cfg.seed,
+    )
+    valid_loader = MultiScaleTrajectoryLoader(
+        data_dir / "valid.npz",
+        ms_cfg=ms_graph_cfg,
+        pad_multiple=cfg.pad_multiple,
+        edge_pad_multiple=cfg.edge_pad_multiple,
+    )
+    train_step = make_train_step(sim_cfg, stats, cfg, tx)
+    jit_rollout = make_jit_rollout(sim_cfg, stats, cfg.inference_mode)
+    logger = MetricLogger(
+        ckpt_dir, use_wandb=cfg.log, project=cfg.project_name, run_name=cfg.run_name
+    )
+    monitor = ResourceMonitor()
+    sched = lr_schedule(cfg)
+
+    print(
+        f"multi-scale training: scales={cfg.num_scales} window={cfg.window_size} "
+        f"layers={cfg.layers} hidden={cfg.hidden_dim} batch={cfg.batch_size} "
+        f"nodes_padded={batcher.num_nodes}"
+    )
+
+    step = int(state["step"])
+    t_last = time.time()
+    try:
+        for batch in batcher.epochs():
+            if step >= cfg.ntraining_steps:
+                break
+            key, step_key = jax.random.split(key)
+            device_batch = jax.tree.map(jnp.asarray, batch)
+            state, metrics = train_step(state, device_batch, step_key)
+            step += 1
+
+            if step % cfg.log_every == 0:
+                metrics = {k: float(v) for k, v in metrics.items()}
+                metrics["lr"] = float(sched(step))
+                dt = (time.time() - t_last) / cfg.log_every
+                t_last = time.time()
+                metrics["train/step_time_s"] = dt
+                logger.log(metrics, step)
+                print(
+                    f"step {step}: loss={metrics['train/loss']:.6f} ({dt*1e3:.0f} ms/step)"
+                )
+
+            if step % cfg.nsave_steps == 0 and step > 0:
+                print(f"validating at step {step}...")
+                monitor.start()
+                _, summary = evaluate_split(state["params"], valid_loader, jit_rollout)
+                val_stats = monitor.stop()
+                logger.log(
+                    {
+                        "val/loss": summary["total"],
+                        "val/loss-position": summary["position"],
+                        "val/loss-strain": summary["strain"],
+                        "val/rmse-oneStep": summary["one_step"],
+                        "val/runtime": val_stats["elapsed_time"],
+                    },
+                    step,
+                )
+                print(f"  val loss={summary['total']:.6f} (best {lowest_eval_loss:.6f})")
+                if summary["total"] < lowest_eval_loss:
+                    lowest_eval_loss = summary["total"]
+                    path = ckpt.save_best(state, step, lowest_eval_loss)
+                    print(f"  new best -> {path.name}")
+    except KeyboardInterrupt:
+        print("training interrupted")
+
+    if lowest_eval_loss == float("inf"):
+        path = ckpt.save_final(state, step)
+        print(f"no validation ran; saved fallback {path.name}")
+    logger.close()
+    return {"step": step, "lowest_eval_loss": lowest_eval_loss}
+
+
+def predict(cfg: TrainConfig) -> dict:
+    data_dir = Path(cfg.data_path)
+    metadata = load_metadata(data_dir)
+    sim_cfg = ms_config_from(cfg, metadata)
+    stats = make_norm_stats(metadata, cfg.noise_std)
+
+    params = multi_scale_simulator_init(jax.random.key(0), sim_cfg)
+    if cfg.model_file is None:
+        print("error: valid/rollout modes require model_file", file=sys.stderr)
+        sys.exit(1)
+    tx = optax.adam(learning_rate=lr_schedule(cfg))
+    state = {
+        "params": params,
+        "opt_state": tx.init(params),
+        "step": jnp.asarray(0, jnp.int32),
+    }
+    ckpt = CheckpointManager(Path(cfg.model_path) / cfg.run_name)
+    restored, _ = ckpt.restore(state, cfg.model_file)
+    params = restored["params"]
+
+    split = "test" if cfg.mode == "rollout" else "valid"
+    loader = MultiScaleTrajectoryLoader(
+        data_dir / f"{split}.npz",
+        ms_cfg=sim_cfg.graph_config,
+        pad_multiple=cfg.pad_multiple,
+        edge_pad_multiple=cfg.edge_pad_multiple,
+    )
+    jit_rollout = make_jit_rollout(sim_cfg, stats, cfg.inference_mode)
+
+    monitor = ResourceMonitor()
+    monitor.start()
+    outputs, summary = evaluate_split(params, loader, jit_rollout)
+    run_stats = monitor.stop()
+
+    if cfg.mode == "rollout":
+        save_dir = Path(cfg.output_path) / cfg.run_name
+        save_dir.mkdir(parents=True, exist_ok=True)
+        case_names = metadata.get(f"file_{split}", [])
+        for i, out in enumerate(outputs):
+            name = (
+                case_names[i].replace(".npz", "") if i < len(case_names) else f"rollout_{i}"
+            )
+            out["metadata"] = metadata
+            out["case_name"] = name
+            out["inference_mode"] = cfg.inference_mode
+            with open(save_dir / f"{name}.pkl", "wb") as f:
+                pickle.dump(out, f)
+        print(f"saved {len(outputs)} rollout pickles to {save_dir}")
+
+    print("=" * 70)
+    print("multi-scale rollout summary")
+    print(f"  mean loss: {summary.get('total', float('nan')):.6f}")
+    print(f"  total runtime: {run_stats['elapsed_time']:.2f}s")
+    print("=" * 70)
+    return summary
+
+
+def main(argv: Optional[list] = None):
+    parser = argparse.ArgumentParser(description="Multi-scale GNN training (TPU)")
+    parser.add_argument("--config", type=str, required=True)
+    parser.add_argument("--mode", type=str, choices=["train", "valid", "rollout"])
+    parser.add_argument("--model_file", type=str)
+    parser.add_argument("--log", type=str, choices=["True", "False"])
+    args = parser.parse_args(argv)
+    cfg = load_config(
+        args.config,
+        {
+            "mode": args.mode,
+            "model_file": args.model_file,
+            "log": None if args.log is None else args.log == "True",
+        },
+    )
+    print(f"config loaded from {args.config}; mode={cfg.mode}")
+    if cfg.mode == "train":
+        train(cfg)
+    else:
+        predict(cfg)
+
+
+if __name__ == "__main__":
+    main()
