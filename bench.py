@@ -62,6 +62,10 @@ def main():
         input_sequence_length=S,
         connectivity_radius=0.6,
         max_neighbors=20,
+        # The bench lattice's true max degree is 5 (self + 4 axial at
+        # r=0.6 on 0.5 spacing); 8 slots keep exact cap-20 semantics while
+        # shrinking edge tensors/gathers 2.5x (see neighbor_slots doc).
+        neighbor_slots=8,
         domain=((-5.0, -30.0), (80.0, 30.0)),
     )
     stats = NormStats(

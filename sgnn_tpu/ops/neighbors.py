@@ -303,7 +303,9 @@ def radius_neighbors(
     """
     n = positions.shape[0]
     if method == "auto":
-        method = "grid" if (domain is not None and n >= 8192) else "bruteforce"
+        # Grid wins whenever a domain is known (measured 19x at N=4797 on
+        # TPU v5e); bruteforce remains for domain-free small inputs/tests.
+        method = "grid" if domain is not None else "bruteforce"
     if method == "grid":
         if domain is None:
             raise ValueError("grid method requires a static `domain=(min, max)`")
@@ -338,3 +340,106 @@ def neighbor_list_to_coo(
     n, k = nl.senders.shape
     receivers = jax.lax.broadcasted_iota(jnp.int32, (n, k), 0).reshape(-1)
     return nl.senders.reshape(-1), receivers, nl.mask.reshape(-1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "radius",
+        "max_neighbors",
+        "include_self",
+        "strict",
+        "domain_min",
+        "domain_max",
+        "cell_capacity",
+    ),
+)
+def radius_neighbors_grid_batched(
+    positions: jnp.ndarray,  # [B, N, dim]
+    radius: float,
+    *,
+    domain_min: Tuple[float, ...],
+    domain_max: Tuple[float, ...],
+    max_neighbors: int = 20,
+    include_self: bool = True,
+    node_mask: Optional[jnp.ndarray] = None,  # [B, N]
+    strict: bool = True,
+    cell_capacity: int = 8,
+) -> NeighborList:
+    """Batched grid search over a block-diagonal flat graph.
+
+    Equivalent to vmapping radius_neighbors_grid per graph, but runs the
+    whole batch as ONE flat problem (per-graph cell-id offsets prevent
+    cross-graph edges). All gathers are flat — measured 2-3x faster than
+    their vmapped forms on TPU v5e, which lowers batched gathers poorly.
+
+    Returned senders are **global flat indices into [B*N]** (exactly what
+    the block-diagonal model path consumes); mask/senders have shape
+    [B*N, K].
+    """
+    b, n, dim = positions.shape
+    grid_shape = _cell_grid_shape(domain_min, domain_max, radius)
+    num_cells = math.prod(grid_shape)
+    lo = jnp.asarray(domain_min, positions.dtype)
+    cell = jnp.asarray(radius, positions.dtype)
+    if node_mask is None:
+        node_mask = jnp.ones((b, n), dtype=bool)
+    flat_pos = positions.reshape(b * n, dim)
+    flat_mask = node_mask.reshape(b * n)
+
+    coords = jnp.floor((positions - lo) / cell).astype(jnp.int32)
+    coords = jnp.clip(coords, 0, jnp.asarray(grid_shape, jnp.int32) - 1)
+    strides = []
+    acc = 1
+    for s in reversed(grid_shape):
+        strides.append(acc)
+        acc *= s
+    strides = jnp.asarray(list(reversed(strides)), jnp.int32)
+    cid = jnp.sum(coords * strides[None, None, :], axis=-1)  # [B, N]
+    batch_off = jnp.arange(b, dtype=jnp.int32)[:, None] * num_cells
+    cid = (cid + batch_off).reshape(b * n)
+    total_cells = b * num_cells
+    cid = jnp.where(flat_mask, cid, total_cells)
+
+    order = jnp.argsort(cid)
+    sorted_cid = cid[order]
+    counts = jnp.zeros((total_cells + 2,), jnp.int32).at[sorted_cid].add(1)
+    starts = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]])
+
+    offsets = jnp.stack(
+        jnp.meshgrid(*([jnp.arange(-1, 2, dtype=jnp.int32)] * dim), indexing="ij"),
+        axis=-1,
+    ).reshape(-1, dim)
+    n_off = offsets.shape[0]
+
+    nbr_coords = coords.reshape(b * n, 1, dim) + offsets[None, :, :]
+    in_bounds = jnp.all(
+        (nbr_coords >= 0) & (nbr_coords < jnp.asarray(grid_shape, jnp.int32)), axis=-1
+    )
+    nbr_cid = jnp.sum(
+        jnp.clip(nbr_coords, 0, jnp.asarray(grid_shape, jnp.int32) - 1)
+        * strides[None, None, :],
+        axis=-1,
+    ) + jnp.repeat(batch_off.reshape(b), n)[:, None]
+    nbr_cid = jnp.where(in_bounds, nbr_cid, total_cells + 1)
+
+    c_start = starts[nbr_cid]
+    c_end = starts[nbr_cid + 1]
+    slot = jax.lax.broadcasted_iota(jnp.int32, (b * n, n_off, cell_capacity), 2)
+    cand_sorted_pos = c_start[:, :, None] + slot
+    cand_valid = cand_sorted_pos < c_end[:, :, None]
+    cand_sorted_pos = jnp.clip(cand_sorted_pos, 0, b * n - 1)
+    cand_idx = order[cand_sorted_pos].reshape(b * n, n_off * cell_capacity)
+    cand_valid = cand_valid.reshape(b * n, n_off * cell_capacity)
+
+    cand_pos = flat_pos[cand_idx]
+    d = cand_pos - flat_pos[:, None, :]
+    d2 = jnp.sum(d * d, axis=-1)
+    r2 = jnp.asarray(radius, positions.dtype) ** 2
+    within = (d2 < r2) if strict else (d2 <= r2)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, cand_idx.shape, 0)
+    valid = cand_valid & within & flat_mask[:, None]
+    if not include_self:
+        valid &= cand_idx != row_ids
+    keys = jnp.where(valid, cand_idx, _INF_I32)
+    return _finalize(keys, max_neighbors)

@@ -25,7 +25,7 @@ from sgnn_tpu.nn.core import Params
 from sgnn_tpu.physics.simulator import (
     NormStats,
     SimulatorConfig,
-    predict_positions,
+    predict_positions_flat,
 )
 
 EROSIONAL_PARTICLE_ID = -1
@@ -76,7 +76,7 @@ def rollout(
 
     def step(window, xs):
         gt_pos, gt_strain = xs
-        next_pos, strain = predict_positions(
+        next_pos, strain = predict_positions_flat(
             params, cfg, stats, window, particle_types, node_mask
         )
         next_pos = jnp.where(erosional, gt_pos, next_pos)

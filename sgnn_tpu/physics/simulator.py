@@ -78,6 +78,13 @@ class SimulatorConfig:
     num_particle_types: int = 1
     particle_type_embedding_size: int = 9
     max_neighbors: int = 20
+    # Physical neighbor-list slot count. Defaults to max_neighbors; can be
+    # lowered when the dataset's true max degree is known to be smaller
+    # (recorded by the dataset builder), shrinking every edge tensor and
+    # gather proportionally with IDENTICAL semantics as long as
+    # degree <= neighbor_slots everywhere (the cap rule — keep lowest
+    # sender indices — is unchanged).
+    neighbor_slots: Optional[int] = None
     wall_x: float = -2.0  # rigid wall location (Taylor impact)
     # False = single-scale contract (raw clamped distance); True = the
     # multi-scale family's normalized variant.
@@ -85,6 +92,10 @@ class SimulatorConfig:
     # Optional static spatial domain enabling the cell-list search path.
     domain: Optional[Tuple[Tuple[float, ...], Tuple[float, ...]]] = None
     neighbor_method: str = "auto"
+
+    @property
+    def slots(self) -> int:
+        return self.neighbor_slots or self.max_neighbors
 
     @property
     def node_in(self) -> int:
@@ -125,9 +136,9 @@ def simulator_init(key: jax.Array, cfg: SimulatorConfig, dtype=jnp.float32) -> P
 def time_diff(position_sequence: jnp.ndarray) -> jnp.ndarray:
     """Finite-difference velocities (learned_simulator.py:540-550).
 
-    [N, S, dim] -> [N, S-1, dim].
+    [..., S, dim] -> [..., S-1, dim] (works batched or unbatched).
     """
-    return position_sequence[:, 1:] - position_sequence[:, :-1]
+    return position_sequence[..., 1:, :] - position_sequence[..., :-1, :]
 
 
 def compute_neighbors(
@@ -139,7 +150,7 @@ def compute_neighbors(
     return radius_neighbors(
         positions,
         cfg.connectivity_radius,
-        max_neighbors=cfg.max_neighbors,
+        max_neighbors=cfg.slots,
         include_self=True,
         node_mask=node_mask,
         strict=True,
@@ -197,8 +208,8 @@ def decoder_postprocess(
 ) -> jnp.ndarray:
     """Denormalize + Euler integrate, dt=1 (learned_simulator.py:381-411)."""
     acceleration = normalized_acceleration * stats.acc_std + stats.acc_mean
-    most_recent = position_sequence[:, -1]
-    velocity = most_recent - position_sequence[:, -2]
+    most_recent = position_sequence[..., -1, :]
+    velocity = most_recent - position_sequence[..., -2, :]
     new_velocity = velocity + acceleration
     return most_recent + new_velocity
 
@@ -209,8 +220,8 @@ def inverse_decoder_postprocess(
     position_sequence: jnp.ndarray,  # [N, S, dim]
 ) -> jnp.ndarray:
     """Exact inverse of the Euler update (learned_simulator.py:493-517)."""
-    previous = position_sequence[:, -1]
-    previous_velocity = previous - position_sequence[:, -2]
+    previous = position_sequence[..., -1, :]
+    previous_velocity = previous - position_sequence[..., -2, :]
     next_velocity = next_position - previous
     acceleration = next_velocity - previous_velocity
     return (acceleration - stats.acc_mean) / stats.acc_std
@@ -269,3 +280,134 @@ def predict_accelerations(
     next_adjusted = next_positions + position_sequence_noise[:, -1]
     target_acc = inverse_decoder_postprocess(stats, next_adjusted, noisy)
     return pred_acc, target_acc, pred_strain
+
+
+# --------------------------------------------------------------------------
+# Batched (block-diagonal flat) execution path — the TPU-fast route.
+# --------------------------------------------------------------------------
+
+
+def _node_features_batched(params, cfg, stats, position_sequences, particle_types):
+    """Node features on [..., S, dim] sequences (batched or not)."""
+    most_recent = position_sequences[..., -1, :]
+    velocities = time_diff(position_sequences)
+    norm_vel = (velocities - stats.vel_mean) / stats.vel_std
+    feats = [norm_vel.reshape(*position_sequences.shape[:-2], -1)]
+    wall = jnp.clip(
+        most_recent[..., 0:1] - cfg.wall_x, 0.0, cfg.connectivity_radius
+    )
+    if cfg.normalize_wall_distance:
+        wall = wall / cfg.connectivity_radius
+    feats.append(wall)
+    if cfg.num_particle_types > 1:
+        feats.append(embedding_apply(params["type_embedding"], particle_types))
+    return jnp.concatenate(feats, axis=-1)
+
+
+def forward_batched(
+    params: Params,
+    cfg: SimulatorConfig,
+    stats: NormStats,
+    position_sequences: jnp.ndarray,  # [B, N, S, dim]
+    particle_types: jnp.ndarray,  # [B, N]
+    node_mask: Optional[jnp.ndarray] = None,  # [B, N]
+    use_pallas: Optional[bool] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batch forward through the flattened block-diagonal model.
+
+    With a configured spatial domain, the radius search itself runs
+    batched-flat (ops.neighbors.radius_neighbors_grid_batched) so every
+    gather in the step is a fast flat gather; otherwise falls back to a
+    vmapped per-graph preprocess.
+    """
+    from sgnn_tpu.models.epd_flat import (
+        encode_process_decode_apply_flat,
+        flatten_batch_graph,
+    )
+    from sgnn_tpu.ops.neighbors import radius_neighbors_grid_batched
+
+    b, n = position_sequences.shape[:2]
+    if node_mask is None:
+        node_mask = jnp.ones((b, n), bool)
+    k = cfg.slots
+
+    if cfg.domain is not None:
+        last = position_sequences[..., -1, :]
+        nl = radius_neighbors_grid_batched(
+            last,
+            cfg.connectivity_radius,
+            domain_min=tuple(cfg.domain[0]),
+            domain_max=tuple(cfg.domain[1]),
+            max_neighbors=k,
+            node_mask=node_mask,
+        )
+        senders = nl.senders  # [B*N, K] global flat indices
+        degrees = jnp.sum(nl.mask, axis=-1, keepdims=True).astype(jnp.float32)
+        nf = _node_features_batched(
+            params, cfg, stats, position_sequences, particle_types
+        ).reshape(b * n, -1)
+        flat_last = last.reshape(b * n, -1)
+        disp = (flat_last[senders] - flat_last[:, None, :]) / cfg.connectivity_radius
+        dist = jnp.linalg.norm(disp, axis=-1, keepdims=True)
+        ef = jnp.concatenate([disp, dist], axis=-1)
+        ef = ef * nl.mask[..., None].astype(ef.dtype)
+        senders_flat = senders.reshape(-1)
+        ef_flat = ef.reshape(b * n * k, -1)
+    else:
+        nf, ef, nl = jax.vmap(
+            lambda s, t, m: encoder_preprocess(params, cfg, stats, s, t, m)
+        )(position_sequences, particle_types, node_mask)
+        senders_flat, degrees = flatten_batch_graph(nl.senders, nl.mask, n)
+        nf = nf.reshape(b * n, -1)
+        ef_flat = ef.reshape(b * n * k, -1)
+
+    pred = encode_process_decode_apply_flat(
+        params["epd"],
+        nf,
+        ef_flat,
+        senders_flat,
+        degrees,
+        k,
+        use_pallas,
+    ).reshape(b, n, -1)
+    return pred[..., : cfg.dim], pred[..., -1]
+
+
+def predict_accelerations_batched(
+    params: Params,
+    cfg: SimulatorConfig,
+    stats: NormStats,
+    next_positions: jnp.ndarray,  # [B, N, dim]
+    position_sequence_noise: jnp.ndarray,  # [B, N, S, dim]
+    position_sequences: jnp.ndarray,  # [B, N, S, dim]
+    particle_types: jnp.ndarray,  # [B, N]
+    node_mask: Optional[jnp.ndarray] = None,
+    use_pallas: Optional[bool] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Batched training forward (same contract as predict_accelerations)."""
+    noisy = position_sequences + position_sequence_noise
+    pred_acc, pred_strain = forward_batched(
+        params, cfg, stats, noisy, particle_types, node_mask, use_pallas
+    )
+    next_adjusted = next_positions + position_sequence_noise[..., -1, :]
+    target_acc = inverse_decoder_postprocess(stats, next_adjusted, noisy)
+    return pred_acc, target_acc, pred_strain
+
+
+def predict_positions_flat(
+    params: Params,
+    cfg: SimulatorConfig,
+    stats: NormStats,
+    current_positions: jnp.ndarray,  # [N, S, dim]
+    particle_types: jnp.ndarray,
+    node_mask: Optional[jnp.ndarray] = None,
+    use_pallas: Optional[bool] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Single-graph inference through the flat path (B=1)."""
+    mask = None if node_mask is None else node_mask[None]
+    norm_acc, strain = forward_batched(
+        params, cfg, stats, current_positions[None], particle_types[None],
+        mask, use_pallas,
+    )
+    next_positions = decoder_postprocess(stats, norm_acc[0], current_positions)
+    return next_positions, strain[0]

@@ -49,7 +49,7 @@ from sgnn_tpu.physics.simulator import (
     NormStats,
     SimulatorConfig,
     make_norm_stats,
-    predict_accelerations,
+    predict_accelerations_batched,
     simulator_init,
 )
 from sgnn_tpu.train.checkpoint import CheckpointManager
@@ -92,16 +92,15 @@ def make_train_step(sim_cfg: SimulatorConfig, stats: NormStats, cfg: TrainConfig
         noise = random_walk_position_noise(
             key, batch["positions"].shape, cfg.noise_std
         )
-
-        def per_graph(pos, nxt, noi, types, mask):
-            return predict_accelerations(
-                params, sim_cfg, stats, nxt, noi, pos, types, mask
-            )
-
-        pred_acc, target_acc, pred_strain = jax.vmap(per_graph)(
-            batch["positions"],
+        # Block-diagonal flat batching: fast gathers + fused Pallas edge
+        # blocks on TPU (models/epd_flat.py), XLA fallback elsewhere.
+        pred_acc, target_acc, pred_strain = predict_accelerations_batched(
+            params,
+            sim_cfg,
+            stats,
             batch["next_position"],
             noise,
+            batch["positions"],
             batch["particle_type"],
             batch["node_mask"],
         )

@@ -1,0 +1,118 @@
+"""Flat (block-diagonal batched) EPD path vs the reference vmap path."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from sgnn_tpu.models import EPDConfig, encode_process_decode_apply, encode_process_decode_init
+from sgnn_tpu.models.epd_flat import (
+    encode_process_decode_apply_flat,
+    flatten_batch_graph,
+)
+from sgnn_tpu.ops import radius_neighbors_bruteforce
+from sgnn_tpu.ops.neighbors import NeighborList
+
+
+def make_batch(rng, b=3, n=40, k=8, dim=2):
+    pos = rng.uniform(-1, 1, size=(b, n, dim)).astype(np.float32)
+    nls = [radius_neighbors_bruteforce(jnp.asarray(p), 0.5, max_neighbors=k) for p in pos]
+    senders = jnp.stack([nl.senders for nl in nls])
+    mask = jnp.stack([nl.mask for nl in nls])
+    return pos, senders, mask
+
+
+def test_flat_matches_vmap_path(rng):
+    b, n, k = 3, 40, 8
+    cfg = EPDConfig(node_in=7, edge_in=3, node_out=3, latent_dim=32,
+                    num_message_passing_steps=2, num_mlp_layers=1)
+    params = encode_process_decode_init(jax.random.key(0), cfg)
+    pos, senders, mask = make_batch(rng, b=b, n=n, k=k)
+    nf = jnp.asarray(rng.normal(size=(b, n, cfg.node_in)).astype(np.float32))
+    ef = jnp.asarray(rng.normal(size=(b, n, k, cfg.edge_in)).astype(np.float32))
+
+    # reference: vmap of the standard path
+    ref = jax.vmap(
+        lambda a, e, s, m: encode_process_decode_apply(params, a, e, NeighborList(s, m))
+    )(nf, ef, senders, mask)
+
+    senders_flat, degrees = flatten_batch_graph(senders, mask, n)
+    out = encode_process_decode_apply_flat(
+        params,
+        nf.reshape(b * n, -1),
+        ef.reshape(b * n * k, -1),
+        senders_flat,
+        degrees,
+        k,
+        use_pallas=False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref).reshape(b * n, -1), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_flat_pallas_interpret_matches(rng, monkeypatch):
+    """Force the pallas kernel (interpret mode on CPU) through the flat path."""
+    import sgnn_tpu.models.epd_flat as epd_flat
+    import sgnn_tpu.ops.pallas.edge_block as eb
+
+    orig = eb.fused_edge_block
+    monkeypatch.setattr(
+        epd_flat, "fused_edge_block",
+        lambda *args: orig(*args[:-1], args[-1], True)
+        if not isinstance(args[-1], bool)
+        else orig(*args),
+    )
+
+    b, n, k = 2, 32, 8
+    cfg = EPDConfig(node_in=5, edge_in=3, node_out=3, latent_dim=16,
+                    num_message_passing_steps=2, num_mlp_layers=1)
+    params = encode_process_decode_init(jax.random.key(1), cfg)
+    pos, senders, mask = make_batch(rng, b=b, n=n, k=k)
+    nf = jnp.asarray(rng.normal(size=(b, n, cfg.node_in)).astype(np.float32))
+    ef = jnp.asarray(rng.normal(size=(b, n, k, cfg.edge_in)).astype(np.float32))
+
+    ref = jax.vmap(
+        lambda a, e, s, m: encode_process_decode_apply(params, a, e, NeighborList(s, m))
+    )(nf, ef, senders, mask)
+
+    senders_flat, degrees = flatten_batch_graph(senders, mask, n)
+    out = encode_process_decode_apply_flat(
+        params, nf.reshape(b * n, -1), ef.reshape(b * n * k, -1),
+        senders_flat, degrees, k, use_pallas=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref).reshape(b * n, -1), rtol=5e-5, atol=5e-5
+    )
+
+
+def test_forward_batched_domain_path_matches_vmap_path(rng):
+    """The fully-flat (domain) route equals the vmapped preprocess route."""
+    from sgnn_tpu.physics.simulator import (
+        NormStats, SimulatorConfig, forward_batched, simulator_init,
+    )
+    import dataclasses
+
+    b, n, s = 2, 48, 4
+    base = SimulatorConfig(
+        dim=2, latent_dim=16, num_message_passing_steps=2,
+        input_sequence_length=s, connectivity_radius=0.6, max_neighbors=12,
+    )
+    stats = NormStats(jnp.zeros(2), jnp.ones(2), jnp.zeros(2), jnp.ones(2))
+    params = simulator_init(jax.random.key(0), base)
+    pos = rng.uniform(-1.5, 1.5, size=(b, n, 2)).astype(np.float32)
+    seq = (pos[:, :, None, :]
+           + rng.normal(scale=0.01, size=(b, n, s, 2)).cumsum(2)).astype(np.float32)
+    types = jnp.zeros((b, n), jnp.int32)
+    mask = np.ones((b, n), bool); mask[:, -5:] = False
+
+    ref = forward_batched(params, base, stats, jnp.asarray(seq), types,
+                          jnp.asarray(mask), use_pallas=False)
+    cfg_dom = dataclasses.replace(base, domain=((-2.5, -2.5), (2.5, 2.5)))
+    got = forward_batched(params, cfg_dom, stats, jnp.asarray(seq), types,
+                          jnp.asarray(mask), use_pallas=False)
+    for a, b_ in zip(got, ref):
+        np.testing.assert_allclose(
+            np.asarray(a)[np.asarray(mask)], np.asarray(b_)[np.asarray(mask)],
+            rtol=2e-5, atol=2e-5,
+        )

@@ -136,3 +136,27 @@ def test_grid_lattice_exact():
     # corner: 3, edge: 4, interior: 5
     assert counts.min() == 3 and counts.max() == 5
     assert (counts == 5).sum() == 64  # 8x8 interior
+
+
+def test_grid_batched_matches_per_graph(rng):
+    from sgnn_tpu.ops.neighbors import radius_neighbors_grid_batched
+
+    b, n = 3, 120
+    pos = rng.uniform(-2.0, 3.0, size=(b, n, 2)).astype(np.float32)
+    kw = dict(domain_min=(-2.5, -2.5), domain_max=(3.5, 3.5),
+              max_neighbors=16, cell_capacity=32)
+    batched = radius_neighbors_grid_batched(jnp.asarray(pos), 0.6, **kw)
+    got_s = np.asarray(batched.senders)
+    got_m = np.asarray(batched.mask)
+    for g in range(b):
+        single = radius_neighbors_grid(jnp.asarray(pos[g]), 0.6, **kw)
+        # batched senders are global flat indices; localize and compare sets
+        rows = slice(g * n, (g + 1) * n)
+        edges_b = set()
+        for i in range(n):
+            for k in range(16):
+                if got_m[rows][i, k]:
+                    s = got_s[rows][i, k]
+                    assert g * n <= s < (g + 1) * n  # no cross-graph edges
+                    edges_b.add((int(s - g * n), i))
+        assert edges_b == nl_edges(single)
