@@ -443,3 +443,116 @@ def radius_neighbors_grid_batched(
         valid &= cand_idx != row_ids
     keys = jnp.where(valid, cand_idx, _INF_I32)
     return _finalize(keys, max_neighbors)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "radius",
+        "max_neighbors",
+        "include_self",
+        "strict",
+        "domain_min",
+        "domain_max",
+        "cell_capacity",
+    ),
+)
+def radius_neighbors_celltable(
+    positions: jnp.ndarray,  # [B, N, dim]
+    radius: float,
+    *,
+    domain_min: Tuple[float, ...],
+    domain_max: Tuple[float, ...],
+    max_neighbors: int = 20,
+    include_self: bool = True,
+    node_mask: Optional[jnp.ndarray] = None,  # [B, N]
+    strict: bool = True,
+    cell_capacity: int = 8,
+) -> NeighborList:
+    """Batched cell-TABLE radius search — the TPU-fast production path.
+
+    Same semantics/returns as radius_neighbors_grid_batched (global flat
+    senders over the block-diagonal batch), but instead of per-candidate
+    element gathers it materializes a dense per-cell table holding each
+    occupant's position AND index as float rows, so fetching a node's
+    3^dim candidate cells is a contiguous ROW gather ([B*N*3^dim] rows of
+    cell_capacity*(dim+1) floats). Measured ~2x faster overall than the
+    sorted-bucket variant on v5e (element gathers were 80% of its time).
+
+    Node indices ride in a float channel — exact for B*N < 2^24.
+    """
+    b, n, dim = positions.shape
+    if b * n >= (1 << 24):
+        raise ValueError("celltable path requires B*N < 2^24 (float index channel)")
+    grid_shape = _cell_grid_shape(domain_min, domain_max, radius)
+    num_cells = math.prod(grid_shape)
+    total = b * num_cells
+    lo = jnp.asarray(domain_min, positions.dtype)
+    if node_mask is None:
+        node_mask = jnp.ones((b, n), dtype=bool)
+    flat_pos = positions.reshape(b * n, dim)
+    flat_mask = node_mask.reshape(b * n)
+
+    coords = jnp.floor((positions - lo) / radius).astype(jnp.int32)
+    coords = jnp.clip(coords, 0, jnp.asarray(grid_shape, jnp.int32) - 1)
+    strides = []
+    acc = 1
+    for s in reversed(grid_shape):
+        strides.append(acc)
+        acc *= s
+    strides = jnp.asarray(list(reversed(strides)), jnp.int32)
+    batch_off = jnp.arange(b, dtype=jnp.int32)[:, None] * num_cells
+    cid = (jnp.sum(coords * strides[None, None, :], axis=-1) + batch_off).reshape(-1)
+    cid = jnp.where(flat_mask, cid, total)  # masked -> overflow cell
+
+    # --- build the dense cell table --------------------------------------
+    order = jnp.argsort(cid)
+    sorted_cid = cid[order]
+    counts = jnp.zeros((total + 2,), jnp.int32).at[sorted_cid].add(1)
+    starts = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]])
+    rank = jnp.arange(b * n, dtype=jnp.int32) - starts[sorted_cid]
+    slot_ok = rank < cell_capacity  # capacity overflow drops occupants
+    flat_slot = jnp.where(
+        slot_ok, sorted_cid * cell_capacity + rank, (total + 1) * cell_capacity
+    )
+    # rows: [x..., idx] per occupant; empty slots hold +inf positions
+    occ = jnp.concatenate(
+        [flat_pos[order], order.astype(positions.dtype)[:, None]], axis=-1
+    )
+    table = jnp.full(
+        ((total + 2) * cell_capacity, dim + 1), jnp.inf, positions.dtype
+    ).at[flat_slot].set(occ)
+    table = table.reshape(total + 2, cell_capacity * (dim + 1))
+
+    # --- candidate cells: one row gather per (node, offset) ---------------
+    offsets = jnp.stack(
+        jnp.meshgrid(*([jnp.arange(-1, 2, dtype=jnp.int32)] * dim), indexing="ij"),
+        axis=-1,
+    ).reshape(-1, dim)
+    n_off = offsets.shape[0]
+    nbr_coords = coords.reshape(b * n, 1, dim) + offsets[None, :, :]
+    in_bounds = jnp.all(
+        (nbr_coords >= 0) & (nbr_coords < jnp.asarray(grid_shape, jnp.int32)), axis=-1
+    )
+    nbr_cid = jnp.sum(
+        jnp.clip(nbr_coords, 0, jnp.asarray(grid_shape, jnp.int32) - 1)
+        * strides[None, None, :],
+        axis=-1,
+    ) + jnp.repeat(batch_off.reshape(b), n)[:, None]
+    nbr_cid = jnp.where(in_bounds, nbr_cid, total + 1)  # empty sentinel row
+
+    cand = table[nbr_cid].reshape(b * n, n_off * cell_capacity, dim + 1)
+    cand_pos = cand[..., :dim]
+    cand_idx = cand[..., dim]
+
+    d = cand_pos - flat_pos[:, None, :]
+    d2 = jnp.sum(d * d, axis=-1)
+    r2 = jnp.asarray(radius, positions.dtype) ** 2
+    within = (d2 < r2) if strict else (d2 <= r2)
+    within &= jnp.isfinite(cand_idx) & flat_mask[:, None]
+    cand_i32 = jnp.where(within, cand_idx, 0.0).astype(jnp.int32)
+    if not include_self:
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, cand_i32.shape, 0)
+        within &= cand_i32 != row_ids
+    keys = jnp.where(within, cand_i32, _INF_I32)
+    return _finalize(keys, max_neighbors)

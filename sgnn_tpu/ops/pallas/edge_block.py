@@ -79,19 +79,26 @@ def _slot_column(te: int, k: int):
 
 
 def _recompute(e, xj, proji_b, we, be, w2, b2):
-    """Shared forward math: returns (h, a, o) for [TE, ...] blocks."""
+    """Shared forward math: returns (h, a, o) for [TE, ...] blocks.
+
+    Weights arrive f32 (master copies); they are cast to the activation
+    dtype so bf16 activations use bf16 MXU passes with f32 accumulation.
+    """
+    dt = e.dtype
     h = (
-        jnp.dot(e, we, preferred_element_type=jnp.float32, precision=_PRECISION)
-        + xj
+        jnp.dot(e, we.astype(dt), preferred_element_type=jnp.float32, precision=_PRECISION)
+        + xj.astype(jnp.float32)
         + proji_b
         + be
     )
-    a = jnp.maximum(h, 0.0)
-    o = jnp.dot(a, w2, preferred_element_type=jnp.float32, precision=_PRECISION) + b2
+    a = jnp.maximum(h, 0.0).astype(dt)
+    o = jnp.dot(a, w2.astype(dt), preferred_element_type=jnp.float32, precision=_PRECISION) + b2
     return h, a, o
 
 
 def _ln_stats(o):
+    # moments in f32 regardless of activation dtype
+    o = o.astype(jnp.float32)
     mu = jnp.mean(o, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(o - mu), axis=-1, keepdims=True)
     inv = jax.lax.rsqrt(var + _LN_EPS)
@@ -120,9 +127,12 @@ def _fwd_kernel(
     proji_b = jnp.dot(seg, proji_ref[:], preferred_element_type=jnp.float32, precision=_PRECISION)
     h, a, o = _recompute(e_ref[:], xj_ref[:], proji_b, we_ref[:], be_ref[:], w2_ref[:], b2_ref[:])
     xhat, _ = _ln_stats(o)
-    msg = (xhat * lns_ref[:] + lnb_ref[:]) * mask
+    msg = ((xhat * lns_ref[:] + lnb_ref[:]) * mask).astype(e_ref.dtype)
     new_e_ref[:] = e_ref[:] + msg
-    agg_ref[:] = jnp.dot(seg.T, msg, preferred_element_type=jnp.float32, precision=_PRECISION)
+    agg_ref[:] = jnp.dot(
+        seg.astype(e_ref.dtype).T, msg, preferred_element_type=jnp.float32,
+        precision=_PRECISION,
+    ).astype(agg_ref.dtype)
 
 
 def _bwd_kernel(
@@ -142,8 +152,11 @@ def _bwd_kernel(
     xhat, inv = _ln_stats(o)
 
     g_msg = (
-        g_new_ref[:]
-        + jnp.dot(seg, g_agg_ref[:], preferred_element_type=jnp.float32, precision=_PRECISION)
+        g_new_ref[:].astype(jnp.float32)
+        + jnp.dot(
+            seg, g_agg_ref[:].astype(jnp.float32),
+            preferred_element_type=jnp.float32, precision=_PRECISION,
+        )
     ) * mask
     g_xhat = g_msg * lns_ref[:]
     g_o = inv * (
@@ -154,11 +167,15 @@ def _bwd_kernel(
     g_a = jnp.dot(g_o, w2_ref[:].T, preferred_element_type=jnp.float32, precision=_PRECISION)
     g_h = jnp.where(h > 0, g_a, 0.0)
 
-    g_e_ref[:] = g_new_ref[:] + jnp.dot(
-        g_h, we_ref[:].T, preferred_element_type=jnp.float32
-    )
-    g_xj_ref[:] = g_h
-    g_proji_ref[:] = jnp.dot(seg.T, g_h, preferred_element_type=jnp.float32, precision=_PRECISION)
+    g_e_ref[:] = (
+        g_new_ref[:].astype(jnp.float32)
+        + jnp.dot(g_h, we_ref[:].T, preferred_element_type=jnp.float32,
+                  precision=_PRECISION)
+    ).astype(g_e_ref.dtype)
+    g_xj_ref[:] = g_h.astype(g_xj_ref.dtype)
+    g_proji_ref[:] = jnp.dot(
+        seg.T, g_h, preferred_element_type=jnp.float32, precision=_PRECISION
+    ).astype(g_proji_ref.dtype)
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
@@ -169,9 +186,15 @@ def _bwd_kernel(
         g_lns_ref[:] = jnp.zeros_like(g_lns_ref)
         g_lnb_ref[:] = jnp.zeros_like(g_lnb_ref)
 
-    g_we_ref[:] += jnp.dot(e.T, g_h, preferred_element_type=jnp.float32, precision=_PRECISION)
+    g_we_ref[:] += jnp.dot(
+        e.astype(jnp.float32).T, g_h, preferred_element_type=jnp.float32,
+        precision=_PRECISION,
+    )
     g_be_ref[:] += jnp.sum(g_h, axis=0, keepdims=True)
-    g_w2_ref[:] += jnp.dot(a.T, g_o, preferred_element_type=jnp.float32, precision=_PRECISION)
+    g_w2_ref[:] += jnp.dot(
+        a.astype(jnp.float32).T, g_o, preferred_element_type=jnp.float32,
+        precision=_PRECISION,
+    )
     g_b2_ref[:] += jnp.sum(g_o, axis=0, keepdims=True)
     g_lns_ref[:] += jnp.sum(g_msg * xhat, axis=0, keepdims=True)
     g_lnb_ref[:] += jnp.sum(g_msg, axis=0, keepdims=True)

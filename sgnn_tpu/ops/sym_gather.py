@@ -1,0 +1,67 @@
+"""Row gather with a gather-based (scatter-free) transpose.
+
+XLA differentiates `table[idx]` into a scatter-add, which on TPU runs
+several times slower than a gather. For **symmetric** graphs (radius
+graphs whose neighbor cap never binds — guaranteed when the dataset's
+max degree <= neighbor_slots), the transpose has closed form: the edges
+in which node v is the *sender* are exactly the reverses of v's own
+incoming edges, so
+
+    (d table)[v] = sum_k cot[reverse_edge_position(v, k)]
+
+which is a dense gather + masked sum over the node's own K slots.
+
+`reverse_edge_positions` builds the reverse index once per step from the
+neighbor list itself (cost: one K-wide row gather + a KxK compare — tiny
+next to the five per-layer scatters it eliminates).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def reverse_edge_positions(
+    senders: jnp.ndarray,  # [R, K] global flat sender indices
+    mask: jnp.ndarray,  # [R, K] bool
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """For each edge (sender j -> receiver i) at slot (i, k), find the flat
+    position of the reverse edge (i -> j) in j's row.
+
+    Returns (rev_pos [R, K] int32 flat edge positions, rev_ok [R, K]).
+    For a symmetric, uncapped graph rev_ok == mask; callers may assert.
+    """
+    r, k = senders.shape
+    # rows of each edge's sender: senders[j] for j = senders[i, :]
+    sos = senders[senders]  # [R, K, K]
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (r, k, k), 0)
+    hit = (sos == row_ids) & mask[senders]  # [R, K, K]
+    kp = jnp.argmax(hit, axis=-1).astype(jnp.int32)  # first match slot
+    rev_ok = jnp.any(hit, axis=-1) & mask
+    rev_pos = senders * k + kp
+    rev_pos = jnp.where(rev_ok, rev_pos, 0)
+    return rev_pos, rev_ok
+
+
+@jax.custom_vjp
+def sym_gather(table, idx, rev_pos, rev_mask):
+    """table[idx] whose VJP gathers via the precomputed reverse index."""
+    return table[idx]
+
+
+def _sym_gather_fwd(table, idx, rev_pos, rev_mask):
+    return table[idx], (idx, rev_pos, rev_mask)
+
+
+def _sym_gather_bwd(res, cot):
+    idx, rev_pos, rev_mask = res
+    # cot: [E, H]; d_table[v] = sum over v's reverse-edge positions
+    gathered = cot[rev_pos]  # [R, K, H]
+    d_table = jnp.sum(gathered * rev_mask[..., None].astype(cot.dtype), axis=1)
+    return d_table, None, None, None
+
+
+sym_gather.defvjp(_sym_gather_fwd, _sym_gather_bwd)

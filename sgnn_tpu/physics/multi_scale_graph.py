@@ -79,11 +79,19 @@ def _radius_edges(
 ) -> CooEdges:
     """Radius graph matching reference semantics: strict < r, self loops,
     per-receiver cap keeping lowest sender indices. Edge = (sender j,
-    receiver i) with j within r of i."""
+    receiver i) with j within r of i.
+
+    Uses the native C++ cell-list search (sgnn_tpu/native) when built,
+    otherwise a scipy cKDTree fallback; both produce identical edges.
+    """
+    from sgnn_tpu import native
+
+    res = native.radius_search_host(positions, r, max_neighbors)
+    if res is not None:
+        return CooEdges(res[0], res[1])
+
     tree = cKDTree(positions)
     senders, receivers = [], []
-    # query_ball_point with strict inequality: shrink r by epsilon-free
-    # approach — filter exact distances afterwards.
     neighbor_lists = tree.query_ball_point(positions, r)
     for i, nbrs in enumerate(neighbor_lists):
         nbrs = np.sort(np.asarray(nbrs, np.int64))

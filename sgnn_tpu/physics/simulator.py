@@ -85,6 +85,15 @@ class SimulatorConfig:
     # degree <= neighbor_slots everywhere (the cap rule — keep lowest
     # sender indices — is unchanged).
     neighbor_slots: Optional[int] = None
+    # Use the gather-based (scatter-free) VJP for sender gathers. Only
+    # valid when the graph is symmetric, i.e. the neighbor cap never
+    # binds (dataset max degree <= slots). See ops/sym_gather.py.
+    symmetric_gather: bool = False
+    # 'float32' (default) or 'bfloat16': dtype of the edge/node latents in
+    # the flat execution path. bf16 halves HBM traffic on every edge-sized
+    # tensor; LayerNorm moments, node updates, the decoder, loss and Adam
+    # all stay f32. Parity tests run f32.
+    compute_dtype: str = "float32"
     wall_x: float = -2.0  # rigid wall location (Taylor impact)
     # False = single-scale contract (raw clamped distance); True = the
     # multi-scale family's normalized variant.
@@ -324,16 +333,17 @@ def forward_batched(
         encode_process_decode_apply_flat,
         flatten_batch_graph,
     )
-    from sgnn_tpu.ops.neighbors import radius_neighbors_grid_batched
+    from sgnn_tpu.ops.neighbors import radius_neighbors_celltable
 
     b, n = position_sequences.shape[:2]
     if node_mask is None:
         node_mask = jnp.ones((b, n), bool)
     k = cfg.slots
+    rev = None
 
     if cfg.domain is not None:
         last = position_sequences[..., -1, :]
-        nl = radius_neighbors_grid_batched(
+        nl = radius_neighbors_celltable(
             last,
             cfg.connectivity_radius,
             domain_min=tuple(cfg.domain[0]),
@@ -353,6 +363,10 @@ def forward_batched(
         ef = ef * nl.mask[..., None].astype(ef.dtype)
         senders_flat = senders.reshape(-1)
         ef_flat = ef.reshape(b * n * k, -1)
+        if cfg.symmetric_gather:
+            from sgnn_tpu.ops.sym_gather import reverse_edge_positions
+
+            rev = reverse_edge_positions(senders, nl.mask)
     else:
         nf, ef, nl = jax.vmap(
             lambda s, t, m: encoder_preprocess(params, cfg, stats, s, t, m)
@@ -369,6 +383,8 @@ def forward_batched(
         degrees,
         k,
         use_pallas,
+        rev,
+        compute_dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None,
     ).reshape(b, n, -1)
     return pred[..., : cfg.dim], pred[..., -1]
 

@@ -116,3 +116,67 @@ def test_forward_batched_domain_path_matches_vmap_path(rng):
             np.asarray(a)[np.asarray(mask)], np.asarray(b_)[np.asarray(mask)],
             rtol=2e-5, atol=2e-5,
         )
+
+
+def test_sym_gather_grads_match_plain(rng):
+    """Reverse-index VJP == XLA scatter VJP on a symmetric uncapped graph."""
+    from sgnn_tpu.ops.sym_gather import reverse_edge_positions, sym_gather
+
+    n, k = 60, 24
+    pos = rng.uniform(-1, 1, size=(n, 2)).astype(np.float32)
+    nl = radius_neighbors_bruteforce(jnp.asarray(pos), 0.5, max_neighbors=k)
+    assert int(np.asarray(nl.mask).sum(1).max()) < k  # cap never binds
+    senders, mask = nl.senders, nl.mask
+    rev_pos, rev_ok = reverse_edge_positions(senders, mask)
+    np.testing.assert_array_equal(np.asarray(rev_ok), np.asarray(mask))
+    # reverse of the reverse points back
+    s_np, m_np = np.asarray(senders), np.asarray(mask)
+    rp = np.asarray(rev_pos)
+    for i in range(n):
+        for kk in range(k):
+            if m_np[i, kk]:
+                p = rp[i, kk]
+                assert s_np[p // k, p % k] == i
+
+    table = jnp.asarray(rng.normal(size=(n, 16)).astype(np.float32))
+    idx = senders.reshape(-1)
+    cot_seed = jnp.asarray(rng.normal(size=(n * k, 16)).astype(np.float32))
+    # zero cotangent on invalid slots (the model always masks them)
+    cot_seed = cot_seed * mask.reshape(-1, 1)
+
+    g_plain = jax.grad(lambda t: jnp.sum(t[idx] * cot_seed))(table)
+    g_sym = jax.grad(
+        lambda t: jnp.sum(sym_gather(t, idx, rev_pos, rev_ok) * cot_seed)
+    )(table)
+    np.testing.assert_allclose(np.asarray(g_sym), np.asarray(g_plain), rtol=1e-5, atol=1e-6)
+
+
+def test_forward_batched_symmetric_gather_grads(rng):
+    """End-to-end grads equal with and without the symmetric-gather VJP."""
+    from sgnn_tpu.physics.simulator import (
+        NormStats, SimulatorConfig, forward_batched, simulator_init,
+    )
+    import dataclasses
+
+    b, n, s = 2, 48, 4
+    base = SimulatorConfig(
+        dim=2, latent_dim=16, num_message_passing_steps=2,
+        input_sequence_length=s, connectivity_radius=0.6, max_neighbors=12,
+        domain=((-2.5, -2.5), (2.5, 2.5)),
+    )
+    stats = NormStats(jnp.zeros(2), jnp.ones(2), jnp.zeros(2), jnp.ones(2))
+    params = simulator_init(jax.random.key(0), base)
+    pos = rng.uniform(-1.5, 1.5, size=(b, n, 2)).astype(np.float32)
+    seq = jnp.asarray((pos[:, :, None, :]
+           + rng.normal(scale=0.01, size=(b, n, s, 2)).cumsum(2)).astype(np.float32))
+    types = jnp.zeros((b, n), jnp.int32)
+
+    def loss(p, cfg):
+        acc, strain = forward_batched(p, cfg, stats, seq, types, use_pallas=False)
+        return jnp.sum(acc**2) + jnp.sum(strain**2)
+
+    g_ref = jax.grad(lambda p: loss(p, base))(params)
+    cfg_sym = dataclasses.replace(base, symmetric_gather=True)
+    g_sym = jax.grad(lambda p: loss(p, cfg_sym))(params)
+    for a, b_ in zip(jax.tree.leaves(g_sym), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=5e-5, atol=1e-6)

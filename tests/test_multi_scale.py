@@ -309,3 +309,43 @@ def test_ms_sample_batcher(tmp_path, rng):
     # graphs differ per trajectory: find a batch mixing trajectories
     tids = [b.samples[i][0] for i in range(len(b.samples))]
     assert len(set(tids)) == 2
+
+
+def test_native_radius_search_matches_scipy(rng):
+    from sgnn_tpu import native
+
+    if not native.available():
+        pytest.skip("no g++ / native lib")
+    pos = rng.uniform(-2, 2, size=(500, 2)).astype(np.float64)
+    s, r = native.radius_search_host(pos, 0.5, 64)
+    # scipy oracle
+    from scipy.spatial import cKDTree
+
+    tree = cKDTree(pos)
+    exp = set()
+    for i, nbrs in enumerate(tree.query_ball_point(pos, 0.5)):
+        for j in nbrs:
+            if np.linalg.norm(pos[j] - pos[i]) < 0.5:
+                exp.add((j, i))
+    assert set(zip(s.tolist(), r.tolist())) == exp
+    # max_degree agrees
+    degs = np.bincount(r, minlength=len(pos))
+    assert native.max_degree_host(pos, 0.5) == degs.max()
+
+
+def test_native_radius_search_3d(rng):
+    from sgnn_tpu import native
+
+    if not native.available():
+        pytest.skip("no g++ / native lib")
+    pos = rng.uniform(-1, 1, size=(300, 3)).astype(np.float64)
+    s, r = native.radius_search_host(pos, 0.4, 64)
+    from scipy.spatial import cKDTree
+
+    tree = cKDTree(pos)
+    exp = set()
+    for i, nbrs in enumerate(tree.query_ball_point(pos, 0.4)):
+        for j in nbrs:
+            if np.linalg.norm(pos[j] - pos[i]) < 0.4:
+                exp.add((j, i))
+    assert set(zip(s.tolist(), r.tolist())) == exp

@@ -160,3 +160,24 @@ def test_grid_batched_matches_per_graph(rng):
                     assert g * n <= s < (g + 1) * n  # no cross-graph edges
                     edges_b.add((int(s - g * n), i))
         assert edges_b == nl_edges(single)
+
+
+def test_celltable_matches_grid_batched(rng):
+    from sgnn_tpu.ops.neighbors import (
+        radius_neighbors_celltable,
+        radius_neighbors_grid_batched,
+    )
+
+    b, n = 3, 150
+    pos = rng.uniform(-2.0, 3.0, size=(b, n, 2)).astype(np.float32)
+    mask = np.ones((b, n), bool)
+    mask[:, -10:] = False
+    kw = dict(domain_min=(-2.5, -2.5), domain_max=(3.5, 3.5),
+              max_neighbors=16, cell_capacity=32, node_mask=jnp.asarray(mask))
+    a = radius_neighbors_celltable(jnp.asarray(pos), 0.6, **kw)
+    c = radius_neighbors_grid_batched(jnp.asarray(pos), 0.6, **kw)
+    np.testing.assert_array_equal(np.asarray(a.mask), np.asarray(c.mask))
+    np.testing.assert_array_equal(
+        np.asarray(a.senders)[np.asarray(a.mask)],
+        np.asarray(c.senders)[np.asarray(c.mask)],
+    )
