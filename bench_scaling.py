@@ -1,0 +1,126 @@
+"""Scaling-efficiency benchmark: edges/s vs device count.
+
+North-star metric (BASELINE.json): >=80% edges/s scaling efficiency from
+1 chip -> 1 host -> N hosts. With one real TPU chip available this
+harness measures what it can:
+  * on real multi-chip hardware: true DP scaling over 1..num_devices,
+  * on the 8-device virtual CPU mesh (JAX_PLATFORMS=cpu +
+    --xla_force_host_platform_device_count=8): validates that the
+    sharded program compiles/executes and reports indicative ratios
+    (CPU numbers are NOT performance claims).
+
+Usage:
+    JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        python bench_scaling.py --batch-per-device 2 --particles 512
+"""
+
+import argparse
+import json
+import os
+import time
+
+import jax
+
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from sgnn_tpu.parallel import make_mesh, make_dp_train_step
+from sgnn_tpu.physics.simulator import NormStats, SimulatorConfig, simulator_init
+from sgnn_tpu.train.config import TrainConfig
+from sgnn_tpu.train.train import make_train_step
+
+
+def lattice(n, spacing=0.5):
+    ny = max(int(np.sqrt(n / 4)), 2)
+    nx = -(-n // ny)
+    xs, ys = np.meshgrid(np.arange(nx) * spacing, np.arange(ny) * spacing, indexing="ij")
+    return np.stack([xs.ravel() - 1.0, ys.ravel()], -1).astype(np.float32)[:n]
+
+
+def run_at(num_devices, batch_per_device, n_particles, layers, hidden, s, iters):
+    mesh = make_mesh(data=num_devices, graph=1)
+    b = batch_per_device * num_devices
+    sim_cfg = SimulatorConfig(
+        dim=2, latent_dim=hidden, num_message_passing_steps=layers,
+        input_sequence_length=s, connectivity_radius=0.6, max_neighbors=20,
+        neighbor_slots=8, domain=((-5.0, -30.0), (80.0, 30.0)),
+    )
+    stats = NormStats(jnp.zeros(2), jnp.ones(2), jnp.zeros(2), jnp.ones(2))
+    cfg = TrainConfig(batch_size=b, noise_std=0.02, input_sequence_length=s,
+                      hidden_dim=hidden, layers=layers)
+    params = simulator_init(jax.random.key(0), sim_cfg)
+    tx = optax.adam(1e-3)
+    state = {"params": params, "opt_state": tx.init(params),
+             "step": jnp.asarray(0, jnp.int32)}
+    rng = np.random.default_rng(0)
+    pos = lattice(n_particles)
+    n = pos.shape[0]
+    batch = {
+        "positions": jnp.asarray(
+            pos[None, :, None, :]
+            + rng.normal(scale=0.002, size=(b, n, s, 2)).cumsum(2).astype(np.float32)),
+        "next_position": jnp.asarray(
+            pos[None] + rng.normal(scale=0.004, size=(b, n, 2)).astype(np.float32)),
+        "next_strain": jnp.asarray(rng.normal(size=(b, n)).astype(np.float32)),
+        "particle_type": jnp.zeros((b, n), jnp.int32),
+        "node_mask": jnp.ones((b, n), bool),
+    }
+    from sgnn_tpu.physics.simulator import compute_neighbors
+
+    edges = int(compute_neighbors(sim_cfg, batch["positions"][0, :, -1]).count_edges())
+    step = make_dp_train_step(make_train_step(sim_cfg, stats, cfg, tx), mesh)
+    key = jax.random.key(1)
+    state, m = step(state, batch, key)
+    jax.block_until_ready(m)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step(state, batch, key)
+    jax.block_until_ready(m)
+    dt = (time.perf_counter() - t0) / iters
+    return {
+        "devices": num_devices,
+        "global_batch": b,
+        "step_time_ms": round(dt * 1e3, 2),
+        "edges_per_s": round(b * edges * layers / dt, 1),
+    }
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch-per-device", type=int, default=2)
+    p.add_argument("--particles", type=int, default=1024)
+    p.add_argument("--layers", type=int, default=5)
+    p.add_argument("--hidden", type=int, default=64)
+    p.add_argument("--seq", type=int, default=11)
+    p.add_argument("--iters", type=int, default=5)
+    args = p.parse_args()
+
+    total = len(jax.devices())
+    counts = [c for c in [1, 2, 4, 8, 16, 32] if c <= total]
+    results = []
+    for c in counts:
+        r = run_at(c, args.batch_per_device, args.particles, args.layers,
+                   args.hidden, args.seq, args.iters)
+        results.append(r)
+        print(json.dumps(r))
+    if len(results) > 1:
+        base = results[0]["edges_per_s"]
+        eff = [
+            round(r["edges_per_s"] / (base * r["devices"]), 3) for r in results
+        ]
+        print(json.dumps({
+            "metric": "dp_scaling_efficiency",
+            "devices": [r["devices"] for r in results],
+            "efficiency_vs_linear": eff,
+            "platform": jax.devices()[0].platform,
+            "note": "CPU-mesh numbers validate the sharded program only; "
+                    "true ICI scaling needs multi-chip hardware",
+        }))
+
+
+if __name__ == "__main__":
+    main()

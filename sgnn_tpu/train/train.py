@@ -237,6 +237,18 @@ def train(cfg: TrainConfig) -> dict:
         f"steps={cfg.ntraining_steps} device={jax.devices()[0].platform}"
     )
 
+    if cfg.debug_graph:
+        # One-time connectivity audit (reference debug_graph facility,
+        # learned_simulator.py:126-229) on the first sample's graph.
+        from sgnn_tpu.physics.simulator import compute_neighbors
+        from sgnn_tpu.utils.graph_debug import audit_neighbor_list
+
+        sample = next(iter(batcher))
+        pos0 = sample["positions"][0, :, -1]
+        m0 = sample["node_mask"][0]
+        nl0 = compute_neighbors(sim_cfg, jnp.asarray(pos0), jnp.asarray(m0))
+        audit_neighbor_list(pos0, nl0, cfg.connection_radius, node_mask=m0)
+
     step = int(state["step"])
     t_last = time.time()
     try:

@@ -1,0 +1,99 @@
+"""Auxiliary subsystems: graph audit, profiling counters, 3D support."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from sgnn_tpu.ops import radius_neighbors_bruteforce
+from sgnn_tpu.utils.graph_debug import audit_neighbor_list
+from sgnn_tpu.utils.profiling import StepProfiler, trace_region
+
+
+def test_graph_audit(rng):
+    pos = rng.uniform(-1, 1, size=(50, 2)).astype(np.float32)
+    nl = radius_neighbors_bruteforce(jnp.asarray(pos), 0.5, max_neighbors=32)
+    stats = audit_neighbor_list(pos, nl, 0.5, verbose=False)
+    assert stats["num_nodes"] == 50
+    assert stats["num_edges"] == int(np.asarray(nl.mask).sum())
+    assert stats["isolated_nodes"] == 0  # self loops guarantee degree >= 1
+    assert stats["spot_check_failures"] == []
+
+
+def test_graph_audit_detects_isolation(rng):
+    # no self loops + far-apart points -> isolated nodes
+    pos = np.array([[0.0, 0.0], [10.0, 0.0], [20.0, 0.0]], np.float32)
+    nl = radius_neighbors_bruteforce(
+        jnp.asarray(pos), 0.5, max_neighbors=4, include_self=False
+    )
+    stats = audit_neighbor_list(pos, nl, 0.5, verbose=False, num_spot_checks=0)
+    assert stats["isolated_nodes"] == 3
+
+
+def test_step_profiler():
+    prof = StepProfiler(edges_per_step=100)
+    prof.tick(); prof.tick()
+    s = prof.summary()
+    assert s["steps"] == 2 and s["edge_updates_per_s"] > 0
+    with trace_region("noop"):
+        pass
+
+
+def test_simulator_3d(rng):
+    """BASELINE.json configs[4]: dim=3 support end-to-end."""
+    from sgnn_tpu.physics import (
+        NormStats, SimulatorConfig, predict_accelerations, rollout,
+        simulator_init,
+    )
+
+    cfg = SimulatorConfig(
+        dim=3, latent_dim=16, num_message_passing_steps=2,
+        input_sequence_length=4, connectivity_radius=0.6, max_neighbors=16,
+    )
+    assert cfg.node_in == 3 * 3 + 1 and cfg.edge_in == 4 and cfg.node_out == 4
+    n, t = 60, 7
+    grid = rng.uniform(0, 2, size=(n, 3)).astype(np.float32)
+    drift = rng.normal(scale=0.01, size=(n, t, 3)).cumsum(axis=1).astype(np.float32)
+    pos = jnp.asarray(grid[:, None, :] + drift)
+    stats = NormStats(jnp.zeros(3), jnp.ones(3), jnp.zeros(3), jnp.ones(3))
+    params = simulator_init(jax.random.key(0), cfg)
+    types = jnp.zeros(n, jnp.int32)
+
+    pred, target, strain = predict_accelerations(
+        params, cfg, stats, pos[:, -1], jnp.zeros_like(pos[:, :4]),
+        pos[:, :4], types,
+    )
+    assert pred.shape == (n, 3) and strain.shape == (n,)
+
+    out = rollout(
+        params, cfg, stats, pos, types,
+        jnp.asarray(rng.normal(size=(t, n)).astype(np.float32)),
+    )
+    assert out["predicted_rollout"].shape == (t - 4, n, 3)
+    assert np.isfinite(np.asarray(out["predicted_rollout"])).all()
+
+
+def test_forward_batched_3d_domain(rng):
+    """3D flat path with the cell-table search."""
+    from sgnn_tpu.physics.simulator import (
+        NormStats, SimulatorConfig, forward_batched, simulator_init,
+    )
+
+    cfg = SimulatorConfig(
+        dim=3, latent_dim=16, num_message_passing_steps=2,
+        input_sequence_length=4, connectivity_radius=0.6, max_neighbors=16,
+        domain=((-0.5, -0.5, -0.5), (2.5, 2.5, 2.5)),
+    )
+    b, n = 2, 40
+    grid = rng.uniform(0, 2, size=(b, n, 3)).astype(np.float32)
+    seq = jnp.asarray(
+        grid[:, :, None, :]
+        + rng.normal(scale=0.005, size=(b, n, 4, 3)).cumsum(2).astype(np.float32)
+    )
+    stats = NormStats(jnp.zeros(3), jnp.ones(3), jnp.zeros(3), jnp.ones(3))
+    params = simulator_init(jax.random.key(0), cfg)
+    acc, strain = forward_batched(
+        params, cfg, stats, seq, jnp.zeros((b, n), jnp.int32), use_pallas=False
+    )
+    assert acc.shape == (b, n, 3)
+    assert np.isfinite(np.asarray(acc)).all()
