@@ -202,7 +202,7 @@ def ms_rollout(
 ) -> Dict[str, jnp.ndarray]:
     """Scanned rollout with the static graph held fixed (reference reuses
     the t=0 hierarchy for every rollout step)."""
-    from sgnn_tpu.physics.rollout import EROSIONAL_PARTICLE_ID, cumulative_rmse
+    from sgnn_tpu.physics.rollout import EROSIONAL_PARTICLE_ID, cumulative_rmse, per_step_rmse
 
     if inference_mode not in ("autoregressive", "one_step"):
         raise ValueError(f"Unknown inference_mode: {inference_mode}")
@@ -236,6 +236,14 @@ def ms_rollout(
         "particle_types": particle_types,
         "rmse_position": cumulative_rmse(pred_positions, gt_positions, node_mask),
         "rmse_strain": cumulative_rmse(
+            pred_strains[..., None], gt_strains[..., None], node_mask
+        ),
+        # the reference's multi-scale evaluator logs per-step (not
+        # cumulative) RMSE (multi_scale_evaluate.py:185-196)
+        "rmse_position_per_step": per_step_rmse(
+            pred_positions, gt_positions, node_mask
+        ),
+        "rmse_strain_per_step": per_step_rmse(
             pred_strains[..., None], gt_strains[..., None], node_mask
         ),
     }

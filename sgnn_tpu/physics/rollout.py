@@ -49,6 +49,21 @@ def cumulative_rmse(
     return jnp.sqrt(jnp.cumsum(mean_sq) / jnp.arange(1, t + 1, dtype=sq.dtype))
 
 
+def per_step_rmse(
+    pred: jnp.ndarray, gt: jnp.ndarray, node_mask: Optional[jnp.ndarray] = None
+) -> jnp.ndarray:
+    """Per-step RMSE [T] (the multi-scale family's validation metric,
+    multi_scale_evaluate.py:185-196 — contrast with cumulative_rmse)."""
+    t = pred.shape[0]
+    sq = jnp.square(pred - gt).reshape(t, pred.shape[1], -1)
+    if node_mask is not None:
+        w = node_mask.astype(sq.dtype)[None, :, None]
+        mean_sq = jnp.sum(sq * w, axis=(1, 2)) / (jnp.sum(w) * sq.shape[-1])
+    else:
+        mean_sq = jnp.mean(sq, axis=(1, 2))
+    return jnp.sqrt(mean_sq)
+
+
 def rollout(
     params: Params,
     cfg: SimulatorConfig,

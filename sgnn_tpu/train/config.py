@@ -72,6 +72,10 @@ class TrainConfig:
     domain_max: Optional[List[float]] = None
     # Device mesh: number of data-parallel shards (1 = single chip).
     data_parallel: int = 1
+    # Physical neighbor-list slots (None -> max_neighbors). Set from the
+    # dataset's max degree for exact semantics with smaller edge tensors.
+    neighbor_slots: Optional[int] = None
+    compute_dtype: str = "float32"
     seed: int = 0
     log_every: int = 10
 

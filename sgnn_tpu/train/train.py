@@ -74,6 +74,8 @@ def simulator_config_from(cfg: TrainConfig, metadata: dict) -> SimulatorConfig:
         num_particle_types=int(metadata.get("num_particle_types", 1)),
         particle_type_embedding_size=cfg.particle_type_embedding_size,
         max_neighbors=20,
+        neighbor_slots=cfg.neighbor_slots,
+        compute_dtype=cfg.compute_dtype,
         domain=cfg.domain,
     )
 
