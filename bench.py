@@ -23,6 +23,11 @@ import jax
 if os.environ.get("JAX_PLATFORMS"):
     jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
+# Persistent compilation cache: first compiles through the remote-TPU
+# tunnel take minutes; cached reruns load in seconds.
+jax.config.update("jax_compilation_cache_dir", os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 import numpy as np
 import optax
@@ -110,18 +115,44 @@ def main():
     train_step = make_train_step(sim_cfg, stats, cfg, tx)
     key = jax.random.key(1)
 
+    def sync(x):
+        # The remote-TPU tunnel's block_until_ready is not a reliable fence;
+        # fetching a scalar is.
+        return float(jnp.sum(jax.tree.leaves(x)[0]))
+
     for _ in range(WARMUP):
         state, metrics = train_step(state, batch, key)
-    jax.block_until_ready(metrics)
+    sync(metrics)
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
         state, metrics = train_step(state, batch, key)
-    jax.block_until_ready(metrics)
+    sync(metrics)
     dt = (time.perf_counter() - t0) / ITERS
 
     edge_updates = BATCH * edges_per_graph * LAYERS
     edges_per_s = edge_updates / dt
+
+    # Secondary: inference (forward-only) throughput — search + features +
+    # message passing, no grads/optimizer. Opt-in (BENCH_INFERENCE=1): the
+    # extra compile through the remote-TPU tunnel costs minutes.
+    dt_fwd = None
+    from sgnn_tpu.physics.simulator import forward_batched
+
+    fwd = jax.jit(
+        lambda p, s: forward_batched(
+            p, sim_cfg, stats, s, batch["particle_type"], batch["node_mask"]
+        )
+    )
+    if os.environ.get("BENCH_INFERENCE"):
+        inputs = [batch["positions"] + 1e-6 * i for i in range(ITERS + 1)]
+        out = fwd(state["params"], inputs[0])
+        sync(out)
+        t0 = time.perf_counter()
+        for i in range(ITERS):
+            out = fwd(state["params"], inputs[i + 1])
+        sync(out)
+        dt_fwd = (time.perf_counter() - t0) / ITERS
 
     print(
         json.dumps(
@@ -131,6 +162,14 @@ def main():
                 "unit": "edges/s",
                 "vs_baseline": round(edges_per_s / BASELINE_EDGES_PER_S, 3),
                 "step_time_ms": round(dt * 1e3, 2),
+                **(
+                    {
+                        "inference_edges_per_s": round(edge_updates / dt_fwd, 1),
+                        "inference_time_ms": round(dt_fwd * 1e3, 2),
+                    }
+                    if dt_fwd
+                    else {}
+                ),
                 "edges_per_graph": edges_per_graph,
                 "batch": BATCH,
                 "layers": LAYERS,

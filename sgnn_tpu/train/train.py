@@ -226,6 +226,17 @@ def train(cfg: TrainConfig) -> dict:
     )
     valid_loader = TrajectoryLoader(data_dir / "valid.npz", pad_multiple=cfg.pad_multiple)
     train_step = make_train_step(sim_cfg, stats, cfg, tx)
+    if cfg.data_parallel > 1:
+        from sgnn_tpu.parallel import make_dp_train_step, make_mesh
+
+        if cfg.batch_size % cfg.data_parallel:
+            raise ValueError(
+                f"batch_size {cfg.batch_size} not divisible by "
+                f"data_parallel {cfg.data_parallel}"
+            )
+        mesh = make_mesh(data=cfg.data_parallel, graph=1)
+        train_step = make_dp_train_step(train_step, mesh)
+        print(f"data-parallel over {cfg.data_parallel} devices")
     jit_rollout = make_jit_rollout(sim_cfg, stats, cfg.inference_mode)
     logger = MetricLogger(
         ckpt_dir, use_wandb=cfg.log, project=cfg.project_name, run_name=cfg.run_name

@@ -15,11 +15,13 @@ if "xla_force_host_platform_device_count" not in flags:
 # Determinism and speed for tests.
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
+# The environment's sitecustomize pins jax_platforms to the TPU tunnel
+# ("axon,cpu"); tests must run on the virtual 8-device CPU backend. Set the
+# env var too: framework entry modules re-apply JAX_PLATFORMS at import.
+os.environ["JAX_PLATFORMS"] = "cpu"
+
 import jax
 
-# The environment's sitecustomize pins jax_platforms to the TPU tunnel
-# ("axon,cpu"); tests must run on the virtual 8-device CPU backend, so
-# override after import (before any backend initializes).
 jax.config.update("jax_platforms", "cpu")
 
 import numpy as np

@@ -95,3 +95,14 @@ def test_resume_from_checkpoint(tiny_env):
     )
     result = train(cfg)
     assert result["step"] == 130
+
+
+def test_train_data_parallel_smoke(tiny_env):
+    """DP training over the 8-device CPU mesh via the config key."""
+    root, data = tiny_env
+    cfg = tiny_config(
+        root, data, ntraining_steps=6, nsave_steps=100,
+        batch_size=8, data_parallel=4, run_name="dp",
+    )
+    result = train(cfg)
+    assert result["step"] == 6
