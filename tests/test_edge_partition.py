@@ -134,3 +134,19 @@ def test_partitioned_loss_and_grads(mesh):
     np.testing.assert_allclose(float(loss), float(ref_l), rtol=1e-5)
     for a, b in zip(jax.tree.leaves(grads), jax.tree.leaves(ref_g)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-5)
+
+
+def test_multihost_global_batch_single_process():
+    """make_global_batch on a single process == plain sharded device_put."""
+    import numpy as np
+    from sgnn_tpu.parallel import make_mesh, multihost
+
+    data_mesh = make_mesh(data=8, graph=1)
+    local = {"x": np.arange(32, dtype=np.float32).reshape(8, 4)}
+    out = multihost.make_global_batch(local, data_mesh)
+    assert out["x"].shape == (8, 4)
+    np.testing.assert_allclose(np.asarray(out["x"]), local["x"])
+    assert multihost.host_seed(7) == 7 * 1_000_003
+    assert multihost.host_batch_slice(16) == 16
+    # no coordinator configured -> initialize is a no-op
+    multihost.initialize()
