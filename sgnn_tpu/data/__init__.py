@@ -2,6 +2,7 @@ from sgnn_tpu.data.builder import DatasetBuilder, build_dataset
 from sgnn_tpu.data.loader import (
     load_trajectories,
     load_metadata,
+    dataset_info,
     SampleBatcher,
     TrajectoryLoader,
 )
@@ -12,6 +13,7 @@ __all__ = [
     "build_dataset",
     "load_trajectories",
     "load_metadata",
+    "dataset_info",
     "SampleBatcher",
     "TrajectoryLoader",
     "generate_synthetic_raw_dataset",

@@ -46,6 +46,28 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+def dataset_info(path: str | Path) -> dict:
+    """Summary of an npz split without loading everything into batches
+    (reference get_dataset_info, taylor_impact_data_loader.py:350-383)."""
+    trajs = load_trajectories(path)
+    if not trajs:
+        return {"num_trajectories": 0}
+    pos, types, stress = trajs[0]
+    return {
+        "num_trajectories": len(trajs),
+        "dimension": int(pos.shape[-1]),
+        "max_timesteps": int(max(p.shape[0] for p, _, _ in trajs)),
+        "num_particles": int(max(p.shape[1] for p, _, _ in trajs)),
+        "particle_types": sorted(
+            {int(t) for _, ty, _ in trajs for t in np.unique(ty)}
+        ),
+        "stress_range": [
+            float(min(s.min() for _, _, s in trajs)),
+            float(max(s.max() for _, _, s in trajs)),
+        ],
+    }
+
+
 class SampleBatcher:
     """Shuffled fixed-shape training batches.
 
