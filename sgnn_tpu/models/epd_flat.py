@@ -1,0 +1,208 @@
+"""Flat (block-diagonal batched) encode-process-decode execution path.
+
+The readable reference implementation lives in
+``models/encode_process_decode.py`` (per-graph [N, K] tensors, vmapped
+over the batch). This module is the TPU-fast route: the whole batch is
+ONE flat graph of M = B*N receivers whose senders carry global flat
+indices (block-diagonal — no cross-graph edges by construction), so
+
+  * every sender gather is a flat [M, H] table gather (XLA lowers
+    vmapped/batched gathers poorly; flat gathers hit the fast path),
+  * edge tensors are 2D [M*K, D] receiver-major arrays that feed the
+    fused Pallas edge-block kernel (ops/pallas/edge_block.py) — one
+    VMEM pass per interaction layer instead of ~10 HBM passes,
+  * the per-edge validity mask is never materialized in HBM: neighbor
+    rows are prefix-compacted, so ``slot < degree`` recovers it from a
+    tiny [M, 1] degree vector in-kernel.
+
+Semantics are pinned equal to the vmapped reference path by
+tests/test_epd_flat.py (change both or neither — CLAUDE.md). The model
+math re-derives xrkong/sgnn sgnn/single_scale/graph_network.py:48-406;
+see encode_process_decode.py for the full contract and the first-layer
+split trick (cat(a,b,c) @ W == a@Wa + b@Wb + c@Wc).
+
+Mixed precision: ``compute_dtype=jnp.bfloat16`` casts the edge-sized
+tensors (edge latents, gathered sender projections) to bf16, halving
+HBM traffic on every [M*K, D] operand. LayerNorm moments, the node
+update, the decoder and all parameters stay f32.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sgnn_tpu.nn.core import Params, layer_norm_apply, mlp_apply
+from sgnn_tpu.models.encode_process_decode import _mlp_tail, _split_first_layer
+from sgnn_tpu.ops.pallas.edge_block import _tile_receivers, fused_edge_block
+from sgnn_tpu.ops.sym_gather import sym_gather
+
+
+def flatten_batch_graph(
+    senders: jnp.ndarray,  # int32[B, N, K] per-graph sender indices
+    mask: jnp.ndarray,  # bool[B, N, K]
+    n: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-graph neighbor lists -> one block-diagonal flat graph.
+
+    Returns:
+      senders_flat: int32[B*N*K] global flat sender indices (graph b's
+        node i becomes b*n + i). Padded slots already hold the
+        receiver's own index (ops/neighbors.py NeighborList contract),
+        so after offsetting they stay in-bounds self-references.
+      degrees: f32[B*N, 1] valid-slot count per receiver. Neighbor rows
+        are prefix-compacted, so the edge mask is ``slot < degree``.
+    """
+    b = senders.shape[0]
+    offsets = (jnp.arange(b, dtype=senders.dtype) * n)[:, None, None]
+    senders_flat = (senders + offsets).reshape(-1)
+    degrees = jnp.sum(mask, axis=-1).reshape(-1, 1).astype(jnp.float32)
+    return senders_flat, degrees
+
+
+def _slot_mask(degrees: jnp.ndarray, m: int, k: int) -> jnp.ndarray:
+    """f32[M*K, 1] edge validity from prefix-compacted degrees."""
+    slot = jax.lax.broadcasted_iota(jnp.float32, (m, k), 1)
+    return (slot < degrees).astype(jnp.float32).reshape(m * k, 1)
+
+
+def _pallas_eligible(edge_mlp: Params, m: int, k: int, d: int) -> bool:
+    """The fused kernel covers the 1-hidden-layer edge MLP and needs the
+    receiver count to tile (see _tile_receivers)."""
+    if len(edge_mlp["layers"]) != 2:
+        return False
+    try:
+        _tile_receivers(m, k, d)
+        _tile_receivers(m, k, d, bwd=True)
+    except ValueError:
+        return False
+    return True
+
+
+def _edge_block_xla(
+    params: Params,
+    e: jnp.ndarray,  # [M*K, D] edge latents (padded slots zero)
+    xj: jnp.ndarray,  # [M*K, H] gathered sender projections
+    proj_i: jnp.ndarray,  # [M, H] receiver projections
+    maskf: jnp.ndarray,  # f32[M*K, 1]
+    w_e: jnp.ndarray,
+    b_e: jnp.ndarray,
+    k: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """XLA fallback of the fused block: same math, compiler-fused."""
+    m = proj_i.shape[0]
+    d = e.shape[-1]
+    h = jnp.dot(e, w_e.astype(e.dtype), preferred_element_type=jnp.float32)
+    h = (h + xj.astype(jnp.float32)).reshape(m, k, -1)
+    h = h + proj_i.astype(jnp.float32)[:, None, :] + b_e
+    h = h.reshape(m * k, -1)
+    msg = _mlp_tail(params["mlp"], h)
+    msg = layer_norm_apply(params["ln"], msg)
+    msg = msg * maskf
+    new_e = e + msg.astype(e.dtype)
+    agg = jnp.sum(msg.reshape(m, k, d), axis=1)
+    return new_e, agg
+
+
+def encode_process_decode_apply_flat(
+    params: Params,
+    node_features: jnp.ndarray,  # [M, node_in]
+    edge_features: jnp.ndarray,  # [M*K, edge_in] receiver-major
+    senders: jnp.ndarray,  # int32[M*K] global flat sender indices
+    degrees: jnp.ndarray,  # f32[M, 1]
+    k: int,
+    use_pallas: Optional[bool] = None,
+    rev: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    compute_dtype: Optional[jnp.dtype] = None,
+) -> jnp.ndarray:
+    """Full EPD forward over one flat block-diagonal graph.
+
+    Args:
+      params: encode_process_decode_init layout.
+      use_pallas: True/False force the kernel/XLA edge path; None picks
+        automatically (kernel on TPU at full-width neighbor slots where
+        it measures faster; XLA elsewhere — BASELINE.md r1 entries).
+      rev: optional (rev_pos [M, K], rev_ok [M, K]) reverse-edge index
+        enabling the gather-based sender-gather VJP (ops/sym_gather.py;
+        valid only for symmetric, uncapped graphs).
+      compute_dtype: optional low-precision dtype for edge-sized tensors.
+    Returns:
+      f32[M, node_out] decoded node outputs.
+    """
+    m = node_features.shape[0]
+    maskf = _slot_mask(degrees, m, k)
+
+    edge_mlp = params["processor"][0]["edge"]["mlp"] if params["processor"] else None
+    if use_pallas is None:
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and k >= 20
+            and edge_mlp is not None
+            and _pallas_eligible(edge_mlp, m, k, params["encoder"]["node"]["ln"]["scale"].shape[0])
+        )
+
+    # --- encoder (graph_network.py:86-96) ----------------------------------
+    x = layer_norm_apply(
+        params["encoder"]["node"]["ln"],
+        mlp_apply(params["encoder"]["node"]["mlp"], node_features),
+    )
+    e = layer_norm_apply(
+        params["encoder"]["edge"]["ln"],
+        mlp_apply(params["encoder"]["edge"]["mlp"], edge_features),
+    )
+    e = e * maskf
+    if compute_dtype is not None:
+        e = e.astype(compute_dtype)
+
+    d = x.shape[-1]
+
+    # --- processor ----------------------------------------------------------
+    for step_params in params["processor"]:
+        (w_i, w_j, w_e), b_e = _split_first_layer(step_params["edge"]["mlp"], (d, d, d))
+        proj_i = jnp.dot(x, w_i, preferred_element_type=x.dtype)  # [M, H]
+        proj_j = jnp.dot(x, w_j, preferred_element_type=x.dtype)  # [M, H]
+        if compute_dtype is not None:
+            proj_j = proj_j.astype(compute_dtype)
+        if rev is not None:
+            xj = sym_gather(proj_j, senders, rev[0], rev[1])
+        else:
+            xj = proj_j[senders]  # [M*K, H]
+
+        if use_pallas and len(step_params["edge"]["mlp"]["layers"]) == 2:
+            w2 = step_params["edge"]["mlp"]["layers"][1]
+            new_e, agg = fused_edge_block(
+                e,
+                xj,
+                proj_i,
+                degrees,
+                w_e,
+                b_e,
+                w2["w"],
+                w2["b"],
+                step_params["edge"]["ln"]["scale"],
+                step_params["edge"]["ln"]["bias"],
+                k,
+            )
+            e = new_e
+            agg = agg.astype(jnp.float32)
+        else:
+            e, agg = _edge_block_xla(
+                step_params["edge"], e, xj, proj_i, maskf, w_e, b_e, k
+            )
+            agg = agg.astype(jnp.float32)
+
+        # node update: node_fn(cat[agg, x]) + residual (graph_network.py:220)
+        (w_agg, w_x), b_n = _split_first_layer(step_params["node"]["mlp"], (d, d))
+        hn = (
+            jnp.dot(agg, w_agg, preferred_element_type=jnp.float32)
+            + jnp.dot(x, w_x, preferred_element_type=jnp.float32)
+            + b_n
+        )
+        upd = _mlp_tail(step_params["node"]["mlp"], hn)
+        upd = layer_norm_apply(step_params["node"]["ln"], upd)
+        x = x + upd
+
+    # --- decoder (graph_network.py:321-322): node MLP, no LayerNorm --------
+    return mlp_apply(params["decoder"], x)

@@ -1,0 +1,160 @@
+"""Multi-scale GNN: grid encoder + G2M -> M x M2M -> M2G interaction blocks.
+
+Re-derivation of the reference MultiScaleGNN
+(xrkong/sgnn sgnn/multi_scale/multi_scale_gnn.py:208-325) for TPU:
+
+  * Node state is a single full-grid-sized [N, D] tensor at every stage;
+    the "mesh" scales exist only as edge lists over global grid indices
+    (multi_scale_gnn.py:296, 307-321) — non-mesh nodes ride through M2M
+    steps untouched except via residuals. We keep that exact dataflow.
+  * The three block types (G2MBlock/M2MBlock/M2GBlock,
+    multi_scale_gnn.py:66-205) are structurally identical interaction
+    networks — edge update edge_fn([x_i, x_j, e]) with x_i the receiver,
+    sum aggregation at receivers, node update node_fn([agg, x]),
+    residuals on both — differing only in which (static, padded COO)
+    edge list they consume. One ``_interact`` implements all three.
+  * Edges are fixed-size receiver-sorted PaddedEdges (StaticGraph,
+    physics/multi_scale_graph.py) built once per trajectory on the host;
+    aggregation is a masked ``segment_sum`` so padded slots are inert.
+  * The edge-MLP's first layer on cat([x_i, x_j, e]) is split into
+    row-blocks (cat(a,b,c) @ W == a@Wa + b@Wb + c@Wc) so receiver/sender
+    projections are [N, D] @ [D, H] node matmuls gathered per edge,
+    not per-edge concat matmuls — same trick as the single-scale path
+    (models/encode_process_decode.py), bitwise-same parameter layout.
+
+Encoders: grid node encoder + three per-edge-type encoders, each
+MLP + LayerNorm (multi_scale_gnn.py:241-258); prediction head is a plain
+MLP (:275, 324). Layer count: 1 G2M, num_message_passing_steps M2M
+(unshared), 1 M2G (:260-272, 307-321).
+
+Parity with a plain-torch oracle of the reference is pinned by
+tests/test_multi_scale.py::test_ms_gnn_parity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from sgnn_tpu.models.encode_process_decode import _mlp_tail, _split_first_layer
+from sgnn_tpu.nn.core import (
+    Params,
+    layer_norm_apply,
+    mlp_apply,
+    mlp_init,
+    mlp_ln_apply,
+    mlp_ln_init,
+)
+from sgnn_tpu.ops.segment import coo_segment_sum
+from sgnn_tpu.physics.multi_scale_graph import StaticGraph
+
+
+@dataclasses.dataclass(frozen=True)
+class MSGNNConfig:
+    """Hyperparameters (multi_scale_gnn.py:208-239; nmlp_layers=2 is the
+    reference trainer's default, multi_scale_train.py:335)."""
+
+    node_in: int
+    edge_in: int
+    node_out: int
+    latent_dim: int
+    num_message_passing_steps: int
+    num_mlp_layers: int = 2
+
+    @property
+    def hidden_dims(self):
+        return [self.latent_dim] * self.num_mlp_layers
+
+
+def _block_init(key: jax.Array, cfg: MSGNNConfig, dtype) -> Params:
+    ke, kn = jax.random.split(key)
+    d = cfg.latent_dim
+    return {
+        "edge": mlp_ln_init(ke, 3 * d, cfg.hidden_dims, d, dtype),
+        "node": mlp_ln_init(kn, 2 * d, cfg.hidden_dims, d, dtype),
+    }
+
+
+def multi_scale_gnn_init(key: jax.Array, cfg: MSGNNConfig, dtype=jnp.float32) -> Params:
+    keys = jax.random.split(key, 7 + cfg.num_message_passing_steps)
+    d = cfg.latent_dim
+    return {
+        "grid_node_encoder": mlp_ln_init(keys[0], cfg.node_in, cfg.hidden_dims, d, dtype),
+        "g2m_edge_encoder": mlp_ln_init(keys[1], cfg.edge_in, cfg.hidden_dims, d, dtype),
+        "m2m_edge_encoder": mlp_ln_init(keys[2], cfg.edge_in, cfg.hidden_dims, d, dtype),
+        "m2g_edge_encoder": mlp_ln_init(keys[3], cfg.edge_in, cfg.hidden_dims, d, dtype),
+        "g2m_block": _block_init(keys[4], cfg, dtype),
+        "m2m_blocks": [
+            _block_init(k, cfg, dtype)
+            for k in keys[5 : 5 + cfg.num_message_passing_steps]
+        ],
+        "m2g_block": _block_init(keys[5 + cfg.num_message_passing_steps], cfg, dtype),
+        "prediction_head": mlp_init(
+            keys[6 + cfg.num_message_passing_steps], d, cfg.hidden_dims, cfg.node_out, dtype
+        ),
+    }
+
+
+def _interact(block: Params, x: jnp.ndarray, e: jnp.ndarray, edges) -> tuple:
+    """One interaction step over padded COO edges.
+
+    Matches G2M/M2M/M2G block semantics (multi_scale_gnn.py:66-205):
+    msg = edge_fn([x_receiver, x_sender, e]); sum-aggregate at receivers;
+    upd = node_fn([agg, x]); residuals on both nodes and edges. Padded
+    edge slots (mask False) contribute nothing to the aggregation and
+    their latents stay zeroed.
+    """
+    d = x.shape[-1]
+    n = x.shape[0]
+    maskf = edges.mask[:, None].astype(x.dtype)
+
+    (w_i, w_j, w_e), b_e = _split_first_layer(block["edge"]["mlp"], (d, d, d))
+    proj_i = jnp.dot(x, w_i, preferred_element_type=x.dtype)  # [N, H]
+    proj_j = jnp.dot(x, w_j, preferred_element_type=x.dtype)  # [N, H]
+    h = (
+        proj_i[edges.receivers]
+        + proj_j[edges.senders]
+        + jnp.dot(e, w_e, preferred_element_type=x.dtype)
+        + b_e
+    )  # [E, H]
+    msg = _mlp_tail(block["edge"]["mlp"], h)
+    msg = layer_norm_apply(block["edge"]["ln"], msg)
+    msg = msg * maskf
+
+    agg = coo_segment_sum(msg, edges.receivers, n)  # padded slots are zero
+    (w_agg, w_x), b_n = _split_first_layer(block["node"]["mlp"], (d, d))
+    hn = (
+        jnp.dot(agg, w_agg, preferred_element_type=x.dtype)
+        + jnp.dot(x, w_x, preferred_element_type=x.dtype)
+        + b_n
+    )
+    upd = _mlp_tail(block["node"]["mlp"], hn)
+    upd = layer_norm_apply(block["node"]["ln"], upd)
+
+    return x + upd, (e + msg) * maskf
+
+
+def multi_scale_gnn_apply(
+    params: Params,
+    node_features: jnp.ndarray,  # [N, node_in] full-grid nodes
+    edge_features: Dict[str, jnp.ndarray],  # {'g2m','m2m','m2g'}: [E_pad, edge_in]
+    graph: StaticGraph,
+) -> jnp.ndarray:
+    """Forward pass (multi_scale_gnn.py:277-325). Returns [N, node_out]."""
+    x = mlp_ln_apply(params["grid_node_encoder"], node_features)
+    e_g2m = mlp_ln_apply(params["g2m_edge_encoder"], edge_features["g2m"])
+    e_m2m = mlp_ln_apply(params["m2m_edge_encoder"], edge_features["m2m"])
+    e_m2g = mlp_ln_apply(params["m2g_edge_encoder"], edge_features["m2g"])
+    e_g2m = e_g2m * graph.g2m.mask[:, None].astype(x.dtype)
+    e_m2m = e_m2m * graph.m2m.mask[:, None].astype(x.dtype)
+    e_m2g = e_m2g * graph.m2g.mask[:, None].astype(x.dtype)
+
+    x, e_g2m = _interact(params["g2m_block"], x, e_g2m, graph.g2m)
+    for block in params["m2m_blocks"]:
+        x, e_m2m = _interact(block, x, e_m2m, graph.m2m)
+    x, e_m2g = _interact(params["m2g_block"], x, e_m2g, graph.m2g)
+
+    return mlp_apply(params["prediction_head"], x)
