@@ -98,7 +98,9 @@ def multi_scale_gnn_init(key: jax.Array, cfg: MSGNNConfig, dtype=jnp.float32) ->
     }
 
 
-def _interact(block: Params, x: jnp.ndarray, e: jnp.ndarray, edges) -> tuple:
+def _interact(
+    block: Params, x: jnp.ndarray, e: jnp.ndarray, edges, sorted_receivers: bool = False
+) -> tuple:
     """One interaction step over padded COO edges.
 
     Matches G2M/M2M/M2G block semantics (multi_scale_gnn.py:66-205):
@@ -124,7 +126,9 @@ def _interact(block: Params, x: jnp.ndarray, e: jnp.ndarray, edges) -> tuple:
     msg = layer_norm_apply(block["edge"]["ln"], msg)
     msg = msg * maskf
 
-    agg = coo_segment_sum(msg, edges.receivers, n)  # padded slots are zero
+    agg = coo_segment_sum(
+        msg, edges.receivers, n, indices_are_sorted=sorted_receivers
+    )  # padded slots are zero
     (w_agg, w_x), b_n = _split_first_layer(block["node"]["mlp"], (d, d))
     hn = (
         jnp.dot(agg, w_agg, preferred_element_type=x.dtype)
@@ -142,8 +146,14 @@ def multi_scale_gnn_apply(
     node_features: jnp.ndarray,  # [N, node_in] full-grid nodes
     edge_features: Dict[str, jnp.ndarray],  # {'g2m','m2m','m2g'}: [E_pad, edge_in]
     graph: StaticGraph,
+    sorted_receivers: bool = False,
 ) -> jnp.ndarray:
-    """Forward pass (multi_scale_gnn.py:277-325). Returns [N, node_out]."""
+    """Forward pass (multi_scale_gnn.py:277-325). Returns [N, node_out].
+
+    ``sorted_receivers=True`` asserts every edge list's receiver indices
+    are non-decreasing INCLUDING padded slots (the flatten_ms_graph
+    contract), unlocking XLA's sorted-scatter path for the segment sums.
+    """
     x = mlp_ln_apply(params["grid_node_encoder"], node_features)
     e_g2m = mlp_ln_apply(params["g2m_edge_encoder"], edge_features["g2m"])
     e_m2m = mlp_ln_apply(params["m2m_edge_encoder"], edge_features["m2m"])
@@ -152,9 +162,39 @@ def multi_scale_gnn_apply(
     e_m2m = e_m2m * graph.m2m.mask[:, None].astype(x.dtype)
     e_m2g = e_m2g * graph.m2g.mask[:, None].astype(x.dtype)
 
-    x, e_g2m = _interact(params["g2m_block"], x, e_g2m, graph.g2m)
+    x, e_g2m = _interact(params["g2m_block"], x, e_g2m, graph.g2m, sorted_receivers)
     for block in params["m2m_blocks"]:
-        x, e_m2m = _interact(block, x, e_m2m, graph.m2m)
-    x, e_m2g = _interact(params["m2g_block"], x, e_m2g, graph.m2g)
+        x, e_m2m = _interact(block, x, e_m2m, graph.m2m, sorted_receivers)
+    x, e_m2g = _interact(params["m2g_block"], x, e_m2g, graph.m2g, sorted_receivers)
 
     return mlp_apply(params["prediction_head"], x)
+
+
+def flatten_ms_graph(graph: StaticGraph, n: int) -> StaticGraph:
+    """Batched per-sample StaticGraph ([B, E_pad] leaves) -> ONE flat
+    block-diagonal graph over B*n nodes.
+
+    This is the multi-scale counterpart of the single-scale flat path
+    (models/epd_flat.py): instead of vmapping segment-sums/gathers over
+    the batch — which XLA lowers poorly on TPU — the whole batch becomes
+    a single COO problem with fast flat gathers and one scatter.
+
+    Graph b's node i becomes global index b*n + i. Padded slots are
+    re-pointed at their graph's LAST node ((b+1)*n - 1, messages are
+    masked so the target only ever receives zeros), which keeps the
+    receiver array globally non-decreasing: valid edges are
+    receiver-sorted per graph (pad_edges), padding sits at each graph's
+    maximum index, and graph b+1 starts strictly above it. Downstream
+    segment sums may therefore claim ``indices_are_sorted=True``.
+    """
+    from sgnn_tpu.physics.multi_scale_graph import PaddedEdges
+
+    def flat(pe):
+        b = pe.senders.shape[0]
+        off = (jnp.arange(b, dtype=pe.senders.dtype) * n)[:, None]
+        last = off + (n - 1)
+        s = jnp.where(pe.mask, pe.senders + off, last).reshape(-1)
+        r = jnp.where(pe.mask, pe.receivers + off, last).reshape(-1)
+        return PaddedEdges(senders=s, receivers=r, mask=pe.mask.reshape(-1))
+
+    return StaticGraph(g2m=flat(graph.g2m), m2m=flat(graph.m2m), m2g=flat(graph.m2g))

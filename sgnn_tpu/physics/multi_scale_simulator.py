@@ -30,6 +30,7 @@ import jax.numpy as jnp
 
 from sgnn_tpu.models.multi_scale import (
     MSGNNConfig,
+    flatten_ms_graph,
     multi_scale_gnn_apply,
     multi_scale_gnn_init,
 )
@@ -117,6 +118,28 @@ def _edge_features_for(
     return feats * edges.mask[:, None].astype(feats.dtype)
 
 
+def _ms_node_features(
+    params: Params,
+    cfg: MultiScaleSimulatorConfig,
+    stats: NormStats,
+    position_sequence: jnp.ndarray,  # [..., S, dim]
+    particle_types: jnp.ndarray,  # [...]
+) -> jnp.ndarray:
+    """Node features on arbitrary leading dims (batched or not)."""
+    most_recent = position_sequence[..., -1, :]
+    velocities = time_diff(position_sequence)
+    norm_vel = (velocities - stats.vel_mean) / stats.vel_std
+    feats = [norm_vel.reshape(*position_sequence.shape[:-2], -1)]
+    grid_radius = cfg.graph_config.grid_radius
+    wall = (
+        jnp.clip(most_recent[..., 0:1] - cfg.wall_x, 0.0, grid_radius) / grid_radius
+    )
+    feats.append(wall)
+    if cfg.num_particle_types > 1:
+        feats.append(embedding_apply(params["type_embedding"], particle_types))
+    return jnp.concatenate(feats, axis=-1)
+
+
 def ms_encoder_preprocess(
     params: Params,
     cfg: MultiScaleSimulatorConfig,
@@ -125,20 +148,10 @@ def ms_encoder_preprocess(
     particle_types: jnp.ndarray,
     graph: StaticGraph,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    n = position_sequence.shape[0]
     most_recent = position_sequence[:, -1]
-    velocities = time_diff(position_sequence)
-
-    norm_vel = (velocities - stats.vel_mean) / stats.vel_std
-    feats = [norm_vel.reshape(n, -1)]
-    grid_radius = cfg.graph_config.grid_radius
-    wall = (
-        jnp.clip(most_recent[:, 0:1] - cfg.wall_x, 0.0, grid_radius) / grid_radius
+    node_features = _ms_node_features(
+        params, cfg, stats, position_sequence, particle_types
     )
-    feats.append(wall)
-    if cfg.num_particle_types > 1:
-        feats.append(embedding_apply(params["type_embedding"], particle_types))
-    node_features = jnp.concatenate(feats, axis=-1)
 
     gc = cfg.graph_config
     edge_features = {
@@ -185,6 +198,69 @@ def ms_predict_accelerations(
     noisy = position_sequence + position_sequence_noise
     pred_acc, pred_strain = _forward(params, cfg, stats, noisy, particle_types, graph)
     next_adjusted = next_positions + position_sequence_noise[:, -1]
+    target_acc = inverse_decoder_postprocess(stats, next_adjusted, noisy)
+    return pred_acc, target_acc, pred_strain
+
+
+# --------------------------------------------------------------------------
+# Batched (block-diagonal flat) execution path — the TPU-fast route.
+# Pinned equal to the vmapped per-graph path by tests/test_multi_scale.py.
+# --------------------------------------------------------------------------
+
+
+def ms_forward_batched(
+    params: Params,
+    cfg: MultiScaleSimulatorConfig,
+    stats: NormStats,
+    position_sequences: jnp.ndarray,  # [B, N, S, dim]
+    particle_types: jnp.ndarray,  # [B, N]
+    graph: StaticGraph,  # batched: [B, E_pad] leaves (per-sample graphs)
+    node_mask: Optional[jnp.ndarray] = None,  # [B, N] (outputs at False rows
+    # are garbage the caller must mask — padded nodes have no edges)
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batch forward as ONE flat block-diagonal graph.
+
+    Replaces jax.vmap(ms_predict_accelerations-forward) — XLA lowers
+    batched gathers/scatters poorly on TPU; flattening makes every edge
+    gather a flat row gather and the three per-type aggregations single
+    sorted segment-sums (see models/multi_scale.flatten_ms_graph).
+    """
+    del node_mask
+    b, n = position_sequences.shape[:2]
+    flat_graph = flatten_ms_graph(graph, n)
+    nf = _ms_node_features(
+        params, cfg, stats, position_sequences, particle_types
+    ).reshape(b * n, -1)
+    most_recent = position_sequences[..., -1, :].reshape(b * n, -1)
+    gc = cfg.graph_config
+    ef = {
+        "g2m": _edge_features_for(most_recent, flat_graph.g2m, gc.grid_radius),
+        "m2m": _edge_features_for(most_recent, flat_graph.m2m, gc.coarsest_radius),
+        "m2g": _edge_features_for(most_recent, flat_graph.m2g, gc.grid_radius),
+    }
+    pred = multi_scale_gnn_apply(
+        params["gnn"], nf, ef, flat_graph, sorted_receivers=True
+    ).reshape(b, n, -1)
+    return pred[..., : cfg.dim], pred[..., -1]
+
+
+def ms_predict_accelerations_batched(
+    params: Params,
+    cfg: MultiScaleSimulatorConfig,
+    stats: NormStats,
+    next_positions: jnp.ndarray,  # [B, N, dim]
+    position_sequence_noise: jnp.ndarray,  # [B, N, S, dim]
+    position_sequences: jnp.ndarray,  # [B, N, S, dim]
+    particle_types: jnp.ndarray,  # [B, N]
+    graph: StaticGraph,  # batched
+    node_mask: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Batched training forward (same contract as ms_predict_accelerations)."""
+    noisy = position_sequences + position_sequence_noise
+    pred_acc, pred_strain = ms_forward_batched(
+        params, cfg, stats, noisy, particle_types, graph, node_mask
+    )
+    next_adjusted = next_positions + position_sequence_noise[..., -1, :]
     target_acc = inverse_decoder_postprocess(stats, next_adjusted, noisy)
     return pred_acc, target_acc, pred_strain
 

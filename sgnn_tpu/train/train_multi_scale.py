@@ -46,7 +46,7 @@ from sgnn_tpu.data.static_graph_loader import (
 )
 from sgnn_tpu.physics.multi_scale_simulator import (
     MultiScaleSimulatorConfig,
-    ms_predict_accelerations,
+    ms_predict_accelerations_batched,
     ms_rollout,
     multi_scale_simulator_init,
 )
@@ -84,17 +84,18 @@ def make_train_step(sim_cfg: MultiScaleSimulatorConfig, stats: NormStats, cfg: T
     def loss_fn(params, batch, key):
         noise = random_walk_position_noise(key, batch["positions"].shape, cfg.noise_std)
 
-        def per_graph(pos, nxt, noi, types, graph):
-            return ms_predict_accelerations(
-                params, sim_cfg, stats, nxt, noi, pos, types, graph
-            )
-
-        pred_acc, target_acc, pred_strain = jax.vmap(per_graph)(
-            batch["positions"],
+        # Block-diagonal flat batching (ms_forward_batched): one flat COO
+        # problem instead of vmapped per-graph scatters/gathers.
+        pred_acc, target_acc, pred_strain = ms_predict_accelerations_batched(
+            params,
+            sim_cfg,
+            stats,
             batch["next_position"],
             noise,
+            batch["positions"],
             batch["particle_type"],
             batch["graph"],
+            batch["node_mask"],
         )
         mask = batch["node_mask"].astype(pred_acc.dtype)
         denom = jnp.maximum(jnp.sum(mask), 1.0)

@@ -286,6 +286,66 @@ def test_ms_rollout(rng):
     assert np.isfinite(np.asarray(out["rmse_position"])).all()
 
 
+def test_ms_flat_batched_matches_vmap(rng):
+    """ms_forward_batched (block-diagonal flat) == vmapped per-graph path,
+    on a batch mixing two different hierarchies."""
+    from sgnn_tpu.physics.multi_scale_simulator import (
+        ms_forward_batched,
+        ms_predict_accelerations,
+        ms_predict_accelerations_batched,
+    )
+
+    s = 5
+    cfg = MultiScaleSimulatorConfig(
+        dim=2, latent_dim=16, num_message_passing_steps=2, num_mlp_layers=2,
+        input_sequence_length=s, num_scales=2, window_size=2,
+    )
+    stats = NormStats(jnp.zeros(2), jnp.ones(2), jnp.zeros(2), jnp.ones(2))
+    params = multi_scale_simulator_init(jax.random.key(0), cfg)
+
+    # two distinct graphs: a 6x6 grid and a 9x4 bar, padded alike
+    grids = [square_grid(6)]
+    xs, ys = np.meshgrid(np.arange(9) * 0.5, np.arange(4) * 0.5)
+    grids.append(np.stack([xs.ravel(), ys.ravel()], -1).astype(np.float64))
+    n = len(grids[0])
+    sgs = [
+        build_static_graph(cfg.graph_config, g, g2m_pad=512, m2m_pad=256, m2g_pad=512)
+        for g in grids
+    ]
+    graph = jax.tree.map(lambda *xs_: jnp.stack([jnp.asarray(x) for x in xs_]), *sgs)
+
+    seqs = np.stack([
+        (g[:, None, :] + rng.normal(scale=0.01, size=(n, s, 2)).cumsum(1)).astype(np.float32)
+        for g in grids
+    ])
+    seqs = jnp.asarray(seqs)
+    types = jnp.zeros((2, n), jnp.int32)
+
+    ref = jax.vmap(
+        lambda seq, t, g: ms_predict_positions(params, cfg, stats, seq, t, g)[0]
+    )(seqs, types, graph)
+    # vmapped forward uses ms_predict_positions; compare raw forward output
+    acc, strain = ms_forward_batched(params, cfg, stats, seqs, types, graph)
+    from sgnn_tpu.physics.multi_scale_simulator import decoder_postprocess
+
+    got = decoder_postprocess(stats, acc, seqs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+    # training contract too
+    noise = jnp.zeros_like(seqs)
+    nxt = seqs[:, :, -1] + 0.01
+    ref_t = jax.vmap(
+        lambda nx, no, seq, t, g: ms_predict_accelerations(
+            params, cfg, stats, nx, no, seq, t, g
+        )
+    )(nxt, noise, seqs, types, graph)
+    got_t = ms_predict_accelerations_batched(
+        params, cfg, stats, nxt, noise, seqs, types, graph
+    )
+    for a, b in zip(got_t, ref_t):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5)
+
+
 # --- loader ----------------------------------------------------------------
 
 
