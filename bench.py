@@ -72,6 +72,13 @@ def main():
         # shrinking edge tensors/gathers 2.5x (see neighbor_slots doc).
         neighbor_slots=8,
         domain=((-5.0, -30.0), (80.0, 30.0)),
+        # Valid because max degree (5) <= slots (8): the radius graph is
+        # symmetric, so sender-gather VJPs can run as reverse-index
+        # gathers instead of scatters (ops/sym_gather.py). Measured
+        # 71 -> 56 ms/step together with bf16 edge latents; neither
+        # helps alone (scatters dominate the f32 bwd; see BASELINE.md).
+        symmetric_gather=True,
+        compute_dtype="bfloat16",
     )
     stats = NormStats(
         vel_mean=jnp.zeros(2), vel_std=jnp.ones(2),

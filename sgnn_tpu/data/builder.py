@@ -59,6 +59,9 @@ class DatasetBuilder:
         self._velocities: List[np.ndarray] = []
         self._accelerations: List[np.ndarray] = []
         self._stresses: List[np.ndarray] = []
+        self._max_degree = 0
+        self._pos_min: np.ndarray | None = None
+        self._pos_max: np.ndarray | None = None
 
     # -- split ---------------------------------------------------------------
 
@@ -99,6 +102,26 @@ class DatasetBuilder:
         self._velocities.append(vel.reshape(-1, dim))
         self._accelerations.append(acc.reshape(-1, dim))
         self._stresses.append(stresses.reshape(-1))
+
+        # Radius-graph degree + spatial extent over every processed frame:
+        # lets trainers size neighbor slots exactly, enable the symmetric
+        # sender-gather VJP, and derive the cell-list search domain
+        # (TPU-native additions; no reference counterpart).
+        from scipy.spatial import cKDTree
+
+        r = self.default_connectivity_radius
+        for frame in positions:
+            tree = cKDTree(frame)
+            counts = tree.query_ball_point(frame, r, return_length=True)
+            # counts use <= r (upper bound on the strict-< degree) — safe
+            # for slot sizing, never undercounts.
+            self._max_degree = max(self._max_degree, int(counts.max()))
+        lo, hi = positions.min(axis=(0, 1)), positions.max(axis=(0, 1))
+        if self._pos_min is None:
+            self._pos_min, self._pos_max = lo, hi
+        else:
+            self._pos_min = np.minimum(self._pos_min, lo)
+            self._pos_max = np.maximum(self._pos_max, hi)
         return (
             positions.astype(np.float32),
             particle_types.astype(np.int64),
@@ -163,6 +186,14 @@ class DatasetBuilder:
             "step_size": self.step_size,
             "total_steps": self.total_steps,
             "random_seed": self.random_seed,
+            # TPU-native additions (no reference counterpart): observed
+            # radius-graph max degree (counted with <= r — a safe upper
+            # bound on the strict-< degree) and spatial extent, letting
+            # trainers auto-size neighbor slots, enable the symmetric
+            # sender-gather VJP, and derive the cell-list search domain.
+            "max_degree": self._max_degree,
+            "pos_min": self._pos_min.tolist(),
+            "pos_max": self._pos_max.tolist(),
         }
         with open(self.out_dir / "metadata.json", "w") as f:
             json.dump(metadata, f, indent=2)

@@ -170,6 +170,110 @@ def multi_scale_gnn_apply(
     return mlp_apply(params["prediction_head"], x)
 
 
+# --------------------------------------------------------------------------
+# Dense per-receiver slot path (no edge-sized scatters). Optional layout:
+# measured slower than flat COO on the hierarchy's skewed degree
+# distributions (see multi_scale_graph.DenseEdges caveat), kept for
+# degree-uniform graphs. Pinned equal to the COO path by
+# tests/test_multi_scale.py.
+# --------------------------------------------------------------------------
+
+
+def _interact_dense(
+    block: Params, x: jnp.ndarray, e: jnp.ndarray, de, sorted_receivers: bool = False
+) -> tuple:
+    """One interaction step over DenseEdges (multi_scale_graph.DenseEdges).
+
+    Same math as _interact, restructured for TPU: the edge computation
+    runs on [R, K, .] dense slots (R = receiver rows of this edge type,
+    R << N for mesh-side types), aggregation is a masked sum over K, and
+    the only scatter is ONE node-sized sorted segment-sum writing agg
+    rows back to the full grid. The node update still runs on ALL N
+    nodes — reference semantics: node_fn([agg=0, x]) + residual also
+    updates nodes this edge type never targets (multi_scale_gnn.py:296,
+    307-321; non-mesh nodes ride through M2M via these updates).
+    """
+    from sgnn_tpu.ops.segment import segment_sum
+
+    d = x.shape[-1]
+    n = x.shape[0]
+    maskf = de.mask[..., None].astype(x.dtype)
+
+    (w_i, w_j, w_e), b_e = _split_first_layer(block["edge"]["mlp"], (d, d, d))
+    proj_i = jnp.dot(x, w_i, preferred_element_type=x.dtype)[de.recv]  # [R, H]
+    proj_j = jnp.dot(x, w_j, preferred_element_type=x.dtype)  # [N, H]
+    h = (
+        proj_i[:, None, :]
+        + proj_j[de.senders]
+        + jnp.dot(e, w_e, preferred_element_type=x.dtype)
+        + b_e
+    )  # [R, K, H]
+    msg = _mlp_tail(block["edge"]["mlp"], h)
+    msg = layer_norm_apply(block["edge"]["ln"], msg)
+    msg = msg * maskf
+
+    agg_rows = jnp.sum(msg, axis=1)  # [R, D]; padded rows are zero
+    agg = segment_sum(
+        agg_rows, de.recv, n, indices_are_sorted=sorted_receivers
+    )  # node-sized
+    (w_agg, w_x), b_n = _split_first_layer(block["node"]["mlp"], (d, d))
+    hn = (
+        jnp.dot(agg, w_agg, preferred_element_type=x.dtype)
+        + jnp.dot(x, w_x, preferred_element_type=x.dtype)
+        + b_n
+    )
+    upd = _mlp_tail(block["node"]["mlp"], hn)
+    upd = layer_norm_apply(block["node"]["ln"], upd)
+
+    return x + upd, (e + msg) * maskf
+
+
+def multi_scale_gnn_apply_dense(
+    params: Params,
+    node_features: jnp.ndarray,  # [N, node_in]
+    edge_features: Dict[str, jnp.ndarray],  # {'g2m','m2m','m2g'}: [R_t, K_t, edge_in]
+    graph,  # DenseStaticGraph (single or flattened batch)
+    sorted_receivers: bool = False,
+) -> jnp.ndarray:
+    """Dense-slot forward; same parameters/semantics as multi_scale_gnn_apply."""
+    x = mlp_ln_apply(params["grid_node_encoder"], node_features)
+    e = {
+        "g2m": mlp_ln_apply(params["g2m_edge_encoder"], edge_features["g2m"]),
+        "m2m": mlp_ln_apply(params["m2m_edge_encoder"], edge_features["m2m"]),
+        "m2g": mlp_ln_apply(params["m2g_edge_encoder"], edge_features["m2g"]),
+    }
+    for key in e:
+        e[key] = e[key] * getattr(graph, key).mask[..., None].astype(x.dtype)
+
+    x, e["g2m"] = _interact_dense(params["g2m_block"], x, e["g2m"], graph.g2m, sorted_receivers)
+    for block in params["m2m_blocks"]:
+        x, e["m2m"] = _interact_dense(block, x, e["m2m"], graph.m2m, sorted_receivers)
+    x, e["m2g"] = _interact_dense(params["m2g_block"], x, e["m2g"], graph.m2g, sorted_receivers)
+
+    return mlp_apply(params["prediction_head"], x)
+
+
+def flatten_dense_ms_graph(graph, n: int):
+    """Batched per-sample DenseStaticGraph ([B, R, ...] leaves) -> one flat
+    block-diagonal graph over B*n nodes.
+
+    Padded rows already point at their graph's last node (dense_edges),
+    so adding per-graph offsets keeps every recv array globally sorted.
+    """
+    from sgnn_tpu.physics.multi_scale_graph import DenseEdges, DenseStaticGraph
+
+    def flat(de):
+        b, r = de.recv.shape
+        off = (jnp.arange(b, dtype=de.recv.dtype) * n)[:, None]
+        return DenseEdges(
+            recv=(de.recv + off).reshape(-1),
+            senders=(de.senders + off[..., None]).reshape(b * r, -1),
+            mask=de.mask.reshape(b * r, -1),
+        )
+
+    return DenseStaticGraph(g2m=flat(graph.g2m), m2m=flat(graph.m2m), m2g=flat(graph.m2g))
+
+
 def flatten_ms_graph(graph: StaticGraph, n: int) -> StaticGraph:
     """Batched per-sample StaticGraph ([B, E_pad] leaves) -> ONE flat
     block-diagonal graph over B*n nodes.

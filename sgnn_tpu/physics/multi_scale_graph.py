@@ -30,7 +30,7 @@ truncation (parity tests avoid cap-binding configs, SURVEY.md §7.3).
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, NamedTuple
+from typing import Dict, List, NamedTuple, Optional
 
 import numpy as np
 from scipy.spatial import cKDTree
@@ -219,4 +219,100 @@ def build_static_graph(
         g2m=pad_edges(out["grid2mesh_edges"], g2m_pad),
         m2m=pad_edges(out["mesh2mesh_edges"], m2m_pad),
         m2g=pad_edges(out["mesh2grid_edges"], m2g_pad),
+    )
+
+
+# --------------------------------------------------------------------------
+# Dense per-receiver slot format (optional alternative layout).
+# --------------------------------------------------------------------------
+
+
+class DenseEdges(NamedTuple):
+    """One edge type as dense per-receiver neighbor slots.
+
+    The COO layout forces edge-sized scatters (segment-sum over E rows);
+    grouping the same edges by receiver turns aggregation into a masked
+    sum over the K axis plus ONE node-sized sorted segment-sum writing
+    the per-receiver results back to the full grid — the same shape the
+    single-scale fast path uses (ops/neighbors.NeighborList), applied to
+    the hierarchy's sparse receiver sets (e.g. m2m receivers are only
+    the mesh nodes, so R << N).
+
+    Measured caveat (TPU v5e, reference scale): the hierarchy's degree
+    distributions are skewed (m2g max degree 24 vs mean ~2), so dense
+    slot occupancy inflates edge-row HBM traffic ~11x over the COO edge
+    count, which outweighs the scatter savings — the flat COO path is
+    ~2x faster end-to-end (BASELINE.md). Dense remains the right layout
+    for degree-uniform graphs; the trainer default is COO (TrainConfig
+    ms_dense=False).
+
+    Attributes:
+      recv: int32[R] global grid index of each receiver row, ascending;
+        padded rows hold the LAST node index so the array stays sorted.
+      senders: int32[R, K] global sender index per slot; padded slots
+        hold the row's own receiver index (in-bounds, inert).
+      mask: bool[R, K] slot validity (valid slots form a row prefix).
+    """
+
+    recv: np.ndarray
+    senders: np.ndarray
+    mask: np.ndarray
+
+
+def dense_edges(
+    edges: CooEdges, num_nodes: int, r_pad: int, k_slots: int
+) -> DenseEdges:
+    """Group COO edges by receiver into dense [R, K] slots."""
+    recv_ids, counts = np.unique(edges.receivers, return_counts=True)
+    r = len(recv_ids)
+    if r > r_pad:
+        raise ValueError(f"receiver count {r} exceeds pad size {r_pad}")
+    kmax = int(counts.max()) if r else 0
+    if kmax > k_slots:
+        raise ValueError(f"max degree {kmax} exceeds slot count {k_slots}")
+
+    order = np.argsort(edges.receivers, kind="stable")
+    s_sorted = edges.senders[order]
+    # slot of each edge within its receiver row
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    slot = np.arange(len(s_sorted)) - np.repeat(starts, counts)
+
+    last = num_nodes - 1
+    recv = np.full(r_pad, last, np.int32)
+    recv[:r] = recv_ids
+    senders = np.repeat(recv[:, None], k_slots, axis=1).astype(np.int32)
+    mask = np.zeros((r_pad, k_slots), bool)
+    row = np.repeat(np.arange(r), counts)
+    senders[row, slot] = s_sorted
+    mask[row, slot] = True
+    return DenseEdges(recv=recv, senders=senders, mask=mask)
+
+
+class DenseStaticGraph(NamedTuple):
+    """Dense-slot static multi-scale graph of one trajectory (array pytree)."""
+
+    g2m: DenseEdges
+    m2m: DenseEdges
+    m2g: DenseEdges
+
+
+def build_dense_static_graph(
+    cfg: MultiScaleConfig,
+    grid_positions: np.ndarray,
+    *,
+    g2m_rows: int,
+    m2m_rows: int,
+    m2g_rows: int,
+    g2m_slots: Optional[int] = None,
+    m2m_slots: Optional[int] = None,
+    m2g_slots: Optional[int] = None,
+) -> DenseStaticGraph:
+    """Host-side dense graph build (same edges as build_static_graph)."""
+    n = len(grid_positions)
+    out = create_all_edges(cfg, grid_positions)
+    k = cfg.max_neighbors
+    return DenseStaticGraph(
+        g2m=dense_edges(out["grid2mesh_edges"], n, g2m_rows, g2m_slots or k),
+        m2m=dense_edges(out["mesh2mesh_edges"], n, m2m_rows, m2m_slots or k),
+        m2g=dense_edges(out["mesh2grid_edges"], n, m2g_rows, m2g_slots or k),
     )

@@ -30,12 +30,18 @@ import jax.numpy as jnp
 
 from sgnn_tpu.models.multi_scale import (
     MSGNNConfig,
+    flatten_dense_ms_graph,
     flatten_ms_graph,
     multi_scale_gnn_apply,
+    multi_scale_gnn_apply_dense,
     multi_scale_gnn_init,
 )
 from sgnn_tpu.nn.core import Params, embedding_apply, embedding_init
-from sgnn_tpu.physics.multi_scale_graph import MultiScaleConfig, StaticGraph
+from sgnn_tpu.physics.multi_scale_graph import (
+    DenseStaticGraph,
+    MultiScaleConfig,
+    StaticGraph,
+)
 from sgnn_tpu.physics.simulator import (
     NormStats,
     decoder_postprocess,
@@ -118,6 +124,29 @@ def _edge_features_for(
     return feats * edges.mask[:, None].astype(feats.dtype)
 
 
+def _edge_features_dense(
+    positions: jnp.ndarray, de, radius: float
+) -> jnp.ndarray:
+    """Dense-slot variant: [R, K, dim+1] features over DenseEdges."""
+    disp = (positions[de.senders] - positions[de.recv][:, None, :]) / radius
+    dist = jnp.linalg.norm(disp, axis=-1, keepdims=True)
+    feats = jnp.concatenate([disp, dist], axis=-1)
+    return feats * de.mask[..., None].astype(feats.dtype)
+
+
+def _ms_edge_features(cfg, most_recent: jnp.ndarray, graph) -> Dict[str, jnp.ndarray]:
+    """Per-edge-type features with the family's per-type radius
+    normalization (grid radius for g2m/m2g, coarsest for m2m)."""
+    gc = cfg.graph_config
+    dense = isinstance(graph, DenseStaticGraph)
+    f = _edge_features_dense if dense else _edge_features_for
+    return {
+        "g2m": f(most_recent, graph.g2m, gc.grid_radius),
+        "m2m": f(most_recent, graph.m2m, gc.coarsest_radius),
+        "m2g": f(most_recent, graph.m2g, gc.grid_radius),
+    }
+
+
 def _ms_node_features(
     params: Params,
     cfg: MultiScaleSimulatorConfig,
@@ -152,21 +181,19 @@ def ms_encoder_preprocess(
     node_features = _ms_node_features(
         params, cfg, stats, position_sequence, particle_types
     )
-
-    gc = cfg.graph_config
-    edge_features = {
-        "g2m": _edge_features_for(most_recent, graph.g2m, gc.grid_radius),
-        "m2m": _edge_features_for(most_recent, graph.m2m, gc.coarsest_radius),
-        "m2g": _edge_features_for(most_recent, graph.m2g, gc.grid_radius),
-    }
-    return node_features, edge_features
+    return node_features, _ms_edge_features(cfg, most_recent, graph)
 
 
 def _forward(params, cfg, stats, position_sequence, particle_types, graph):
     node_f, edge_f = ms_encoder_preprocess(
         params, cfg, stats, position_sequence, particle_types, graph
     )
-    pred = multi_scale_gnn_apply(params["gnn"], node_f, edge_f, graph)
+    apply_fn = (
+        multi_scale_gnn_apply_dense
+        if isinstance(graph, DenseStaticGraph)
+        else multi_scale_gnn_apply
+    )
+    pred = apply_fn(params["gnn"], node_f, edge_f, graph)
     return pred[:, : cfg.dim], pred[:, -1]
 
 
@@ -227,18 +254,17 @@ def ms_forward_batched(
     """
     del node_mask
     b, n = position_sequences.shape[:2]
-    flat_graph = flatten_ms_graph(graph, n)
+    dense = isinstance(graph, DenseStaticGraph)
+    flat_graph = (
+        flatten_dense_ms_graph(graph, n) if dense else flatten_ms_graph(graph, n)
+    )
     nf = _ms_node_features(
         params, cfg, stats, position_sequences, particle_types
     ).reshape(b * n, -1)
     most_recent = position_sequences[..., -1, :].reshape(b * n, -1)
-    gc = cfg.graph_config
-    ef = {
-        "g2m": _edge_features_for(most_recent, flat_graph.g2m, gc.grid_radius),
-        "m2m": _edge_features_for(most_recent, flat_graph.m2m, gc.coarsest_radius),
-        "m2g": _edge_features_for(most_recent, flat_graph.m2g, gc.grid_radius),
-    }
-    pred = multi_scale_gnn_apply(
+    ef = _ms_edge_features(cfg, most_recent, flat_graph)
+    apply_fn = multi_scale_gnn_apply_dense if dense else multi_scale_gnn_apply
+    pred = apply_fn(
         params["gnn"], nf, ef, flat_graph, sorted_receivers=True
     ).reshape(b, n, -1)
     return pred[..., : cfg.dim], pred[..., -1]

@@ -64,6 +64,13 @@ class TrainConfig:
     window_size: int = 2
     radius_multiplier: float = 2.0
     edge_pad_multiple: int = 1024
+    # Dense per-receiver slot graph layout for multi-scale. Measured SLOWER
+    # than the flat padded-COO path at reference scale (91.7 vs 42.6 ms
+    # fwd+bwd, TPU v5e): the hierarchy's skewed degree distributions (m2g
+    # max degree 24 vs mean ~2) make dense slot occupancy ~11x worse than
+    # COO's edge count, and that HBM tax exceeds the scatter savings.
+    # Kept as an option for degree-uniform graphs.
+    ms_dense: bool = False
 
     # --- TPU-native additions ------------------------------------------------
     pad_multiple: int = 128  # node-count padding granularity
@@ -72,9 +79,16 @@ class TrainConfig:
     domain_max: Optional[List[float]] = None
     # Device mesh: number of data-parallel shards (1 = single chip).
     data_parallel: int = 1
-    # Physical neighbor-list slots (None -> max_neighbors). Set from the
-    # dataset's max degree for exact semantics with smaller edge tensors.
+    # Physical neighbor-list slots. None -> auto: the builder-recorded
+    # dataset max degree + 2 (capped at max_neighbors), falling back to
+    # max_neighbors for datasets without the record. Exact semantics with
+    # smaller edge tensors as long as true degree <= slots.
     neighbor_slots: Optional[int] = None
+    # Scatter-free sender-gather VJP (ops/sym_gather.py). None -> auto:
+    # enabled when the recorded max degree (+2 noise margin) fits the
+    # slot count, i.e. the neighbor cap never binds and the radius graph
+    # is symmetric. Only profitable together with bf16 (BASELINE.md).
+    symmetric_gather: Optional[bool] = None
     compute_dtype: str = "float32"
     seed: int = 0
     log_every: int = 10

@@ -64,6 +64,32 @@ from sgnn_tpu.utils.resource_monitor import ResourceMonitor
 
 
 def simulator_config_from(cfg: TrainConfig, metadata: dict) -> SimulatorConfig:
+    # Auto-derivations from builder-recorded dataset facts (metadata
+    # max_degree / pos_min / pos_max; sgnn_tpu/data/builder.py). Explicit
+    # config values always win.
+    max_neighbors = 20
+    slots = cfg.neighbor_slots
+    max_degree = metadata.get("max_degree")
+    if slots is None and max_degree is not None:
+        # +2 margin: training noise can move a pair across the radius.
+        slots = min(max_neighbors, int(max_degree) + 2)
+    symmetric = cfg.symmetric_gather
+    if symmetric is None:
+        # Only profitable with bf16 edge latents (f32 measured slower —
+        # the reverse-index build outweighs the scatter savings there).
+        symmetric = (
+            cfg.compute_dtype == "bfloat16"
+            and max_degree is not None
+            and slots is not None
+            and int(max_degree) + 2 <= slots
+        )
+    domain = cfg.domain
+    if domain is None and "pos_min" in metadata and "pos_max" in metadata:
+        lo = np.asarray(metadata["pos_min"], np.float64)
+        hi = np.asarray(metadata["pos_max"], np.float64)
+        # generous margin for autoregressive-rollout drift
+        pad = 0.25 * (hi - lo) + 4 * cfg.connection_radius
+        domain = (tuple(lo - pad), tuple(hi + pad))
     return SimulatorConfig(
         dim=cfg.dim,
         latent_dim=cfg.hidden_dim,
@@ -73,10 +99,11 @@ def simulator_config_from(cfg: TrainConfig, metadata: dict) -> SimulatorConfig:
         input_sequence_length=cfg.input_sequence_length,
         num_particle_types=int(metadata.get("num_particle_types", 1)),
         particle_type_embedding_size=cfg.particle_type_embedding_size,
-        max_neighbors=20,
-        neighbor_slots=cfg.neighbor_slots,
+        max_neighbors=max_neighbors,
+        neighbor_slots=slots,
+        symmetric_gather=bool(symmetric),
         compute_dtype=cfg.compute_dtype,
-        domain=cfg.domain,
+        domain=domain,
     )
 
 

@@ -195,12 +195,14 @@ def train(cfg: TrainConfig) -> dict:
         pad_multiple=cfg.pad_multiple,
         edge_pad_multiple=cfg.edge_pad_multiple,
         seed=cfg.seed,
+        dense=cfg.ms_dense,
     )
     valid_loader = MultiScaleTrajectoryLoader(
         data_dir / "valid.npz",
         ms_cfg=ms_graph_cfg,
         pad_multiple=cfg.pad_multiple,
         edge_pad_multiple=cfg.edge_pad_multiple,
+        dense=cfg.ms_dense,
     )
     train_step = make_train_step(sim_cfg, stats, cfg, tx)
     jit_rollout = make_jit_rollout(sim_cfg, stats, cfg.inference_mode)
@@ -294,6 +296,7 @@ def predict(cfg: TrainConfig) -> dict:
         ms_cfg=sim_cfg.graph_config,
         pad_multiple=cfg.pad_multiple,
         edge_pad_multiple=cfg.edge_pad_multiple,
+        dense=cfg.ms_dense,
     )
     jit_rollout = make_jit_rollout(sim_cfg, stats, cfg.inference_mode)
 

@@ -45,6 +45,10 @@ def test_builder_metadata(built_dataset):
     assert len(md["file_test"]) == 1
     assert (out / "metadata.json").exists()
     assert json.load(open(out / "metadata.json"))["dim"] == 2
+    # TPU-native additions: recorded degree bound + spatial extent
+    assert md["max_degree"] >= 5  # lattice: self + 4 axial within r=0.6
+    assert len(md["pos_min"]) == 2 and len(md["pos_max"]) == 2
+    assert all(a < b for a, b in zip(md["pos_min"], md["pos_max"]))
 
 
 def test_builder_crop_and_boundary_removal(built_dataset):

@@ -346,6 +346,108 @@ def test_ms_flat_batched_matches_vmap(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5)
 
 
+def test_ms_dense_graph_roundtrip():
+    """dense_edges groups exactly the COO edge set, receiver-sorted."""
+    from sgnn_tpu.physics.multi_scale_graph import dense_edges
+
+    cfg = MultiScaleConfig(num_scales=2, window_size=2)
+    grid = square_grid(6)
+    out = create_all_edges(cfg, grid)
+    coo = out["grid2mesh_edges"]
+    de = dense_edges(coo, len(grid), r_pad=64, k_slots=24)
+    got = {
+        (int(de.senders[r, k]), int(de.recv[r]))
+        for r in range(64)
+        for k in range(24)
+        if de.mask[r, k]
+    }
+    assert got == set(zip(coo.senders.tolist(), coo.receivers.tolist()))
+    assert (np.diff(de.recv) >= 0).all()  # sorted incl. padding
+    # padded slots point at the row's receiver; padded rows at last node
+    assert de.recv[-1] == len(grid) - 1
+
+
+def test_ms_dense_apply_matches_coo(rng):
+    """multi_scale_gnn_apply_dense == multi_scale_gnn_apply, and the flat
+    dense batched forward matches both, on a mixed-graph batch."""
+    from sgnn_tpu.physics.multi_scale_graph import build_dense_static_graph
+    from sgnn_tpu.models.multi_scale import multi_scale_gnn_apply_dense
+    from sgnn_tpu.physics.multi_scale_simulator import (
+        ms_forward_batched,
+        ms_predict_positions,
+    )
+
+    s = 5
+    cfg = MultiScaleSimulatorConfig(
+        dim=2, latent_dim=16, num_message_passing_steps=2, num_mlp_layers=2,
+        input_sequence_length=s, num_scales=2, window_size=2,
+    )
+    stats = NormStats(jnp.zeros(2), jnp.ones(2), jnp.zeros(2), jnp.ones(2))
+    params = multi_scale_simulator_init(jax.random.key(0), cfg)
+
+    grids = [square_grid(6)]
+    xs, ys = np.meshgrid(np.arange(9) * 0.5, np.arange(4) * 0.5)
+    grids.append(np.stack([xs.ravel(), ys.ravel()], -1).astype(np.float64))
+    n = len(grids[0])
+
+    coo = [
+        build_static_graph(cfg.graph_config, g, g2m_pad=512, m2m_pad=256, m2g_pad=512)
+        for g in grids
+    ]
+    dense = [
+        build_dense_static_graph(
+            cfg.graph_config, g, g2m_rows=16, m2m_rows=16, m2g_rows=n
+        )
+        for g in grids
+    ]
+    seqs = np.stack([
+        (g[:, None, :] + rng.normal(scale=0.01, size=(n, s, 2)).cumsum(1)).astype(np.float32)
+        for g in grids
+    ])
+    seqs = jnp.asarray(seqs)
+    types = jnp.zeros((2, n), jnp.int32)
+
+    # unbatched: dense forward (via _forward dispatch) == COO forward
+    for i in range(2):
+        ref_pos, ref_strain = ms_predict_positions(
+            params, cfg, stats, seqs[i], types[i], jax.tree.map(jnp.asarray, coo[i])
+        )
+        got_pos, got_strain = ms_predict_positions(
+            params, cfg, stats, seqs[i], types[i], jax.tree.map(jnp.asarray, dense[i])
+        )
+        np.testing.assert_allclose(np.asarray(got_pos), np.asarray(ref_pos), rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(got_strain), np.asarray(ref_strain), rtol=2e-5, atol=2e-5)
+
+    # batched flat: dense == COO
+    coo_b = jax.tree.map(lambda *x: jnp.stack([jnp.asarray(v) for v in x]), *coo)
+    dense_b = jax.tree.map(lambda *x: jnp.stack([jnp.asarray(v) for v in x]), *dense)
+    ref = ms_forward_batched(params, cfg, stats, seqs, types, coo_b)
+    got = ms_forward_batched(params, cfg, stats, seqs, types, dense_b)
+    for a, b in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5)
+
+
+def test_ms_dense_batcher(tmp_path, rng):
+    from sgnn_tpu.data import DatasetBuilder, generate_synthetic_raw_dataset
+    from sgnn_tpu.data.static_graph_loader import MultiScaleSampleBatcher
+    from sgnn_tpu.physics.multi_scale_graph import DenseStaticGraph
+
+    raw, out = tmp_path / "raw", tmp_path / "proc"
+    generate_synthetic_raw_dataset(raw, num_sims=3, nx=12, ny=6, num_steps=50, seed=0)
+    DatasetBuilder(raw, out, step_size=2, total_steps=30, val_patterns=["-110"],
+                   boundary_particles_to_remove=2).build()
+    b = MultiScaleSampleBatcher(
+        out / "train.npz", input_sequence_length=4, batch_size=3,
+        ms_cfg=MultiScaleConfig(num_scales=2, window_size=2),
+        pad_multiple=32, edge_pad_multiple=256, seed=0, dense=True,
+    )
+    batch = next(iter(b))
+    g = batch["graph"]
+    assert isinstance(g, DenseStaticGraph)
+    assert g.g2m.senders.shape[0] == 3  # batch axis
+    assert g.g2m.recv.ndim == 2 and g.g2m.mask.ndim == 3
+
+
 # --- loader ----------------------------------------------------------------
 
 
