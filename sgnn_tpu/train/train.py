@@ -253,8 +253,10 @@ def train(cfg: TrainConfig) -> dict:
     )
     valid_loader = TrajectoryLoader(data_dir / "valid.npz", pad_multiple=cfg.pad_multiple)
     train_step = make_train_step(sim_cfg, stats, cfg, tx)
+    batch_put = None
     if cfg.data_parallel > 1:
         from sgnn_tpu.parallel import make_dp_train_step, make_mesh
+        from sgnn_tpu.parallel.data_parallel import shard_batch
 
         if cfg.batch_size % cfg.data_parallel:
             raise ValueError(
@@ -263,6 +265,7 @@ def train(cfg: TrainConfig) -> dict:
             )
         mesh = make_mesh(data=cfg.data_parallel, graph=1)
         train_step = make_dp_train_step(train_step, mesh)
+        batch_put = lambda b: shard_batch(mesh, b)  # prefetch straight to shards
         print(f"data-parallel over {cfg.data_parallel} devices")
     jit_rollout = make_jit_rollout(sim_cfg, stats, cfg.inference_mode)
     logger = MetricLogger(
@@ -289,14 +292,16 @@ def train(cfg: TrainConfig) -> dict:
         nl0 = compute_neighbors(sim_cfg, jnp.asarray(pos0), jnp.asarray(m0))
         audit_neighbor_list(pos0, nl0, cfg.connection_radius, node_mask=m0)
 
+    from sgnn_tpu.data.prefetch import DevicePrefetcher
+
     step = int(state["step"])
     t_last = time.time()
+    prefetch = DevicePrefetcher(batcher.epochs(), depth=2, put=batch_put)
     try:
-        for batch in batcher.epochs():
+        for device_batch in prefetch:
             if step >= cfg.ntraining_steps:
                 break
             key, step_key = jax.random.split(key)
-            device_batch = {k: jnp.asarray(v) for k, v in batch.items()}
             state, metrics = train_step(state, device_batch, step_key)
             step += 1
 
@@ -343,6 +348,8 @@ def train(cfg: TrainConfig) -> dict:
                     print(f"  new best -> {path.name}")
     except KeyboardInterrupt:
         print("training interrupted")
+    finally:
+        prefetch.close()
 
     if lowest_eval_loss == float("inf"):
         path = ckpt.save_final(state, step)

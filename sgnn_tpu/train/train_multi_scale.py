@@ -218,14 +218,16 @@ def train(cfg: TrainConfig) -> dict:
         f"nodes_padded={batcher.num_nodes}"
     )
 
+    from sgnn_tpu.data.prefetch import DevicePrefetcher
+
     step = int(state["step"])
     t_last = time.time()
+    prefetch = DevicePrefetcher(batcher.epochs(), depth=2)
     try:
-        for batch in batcher.epochs():
+        for device_batch in prefetch:
             if step >= cfg.ntraining_steps:
                 break
             key, step_key = jax.random.split(key)
-            device_batch = jax.tree.map(jnp.asarray, batch)
             state, metrics = train_step(state, device_batch, step_key)
             step += 1
 
@@ -262,6 +264,8 @@ def train(cfg: TrainConfig) -> dict:
                     print(f"  new best -> {path.name}")
     except KeyboardInterrupt:
         print("training interrupted")
+    finally:
+        prefetch.close()
 
     if lowest_eval_loss == float("inf"):
         path = ckpt.save_final(state, step)

@@ -97,3 +97,41 @@ def test_forward_batched_3d_domain(rng):
     )
     assert acc.shape == (b, n, 3)
     assert np.isfinite(np.asarray(acc)).all()
+
+
+def test_device_prefetcher(rng):
+    import numpy as np
+    import jax.numpy as jnp
+    from sgnn_tpu.data.prefetch import DevicePrefetcher
+
+    batches = [{"x": rng.normal(size=(4, 8)).astype(np.float32), "i": i}
+               for i in range(5)]
+    with DevicePrefetcher(iter(batches), depth=2) as pf:
+        out = list(pf)
+    assert [b["i"] for b in out] == list(range(5))
+    for a, b in zip(out, batches):
+        assert isinstance(a["x"], jnp.ndarray)
+        np.testing.assert_array_equal(np.asarray(a["x"]), b["x"])
+
+
+def test_device_prefetcher_propagates_errors():
+    from sgnn_tpu.data.prefetch import DevicePrefetcher
+    import pytest
+
+    def bad():
+        yield {"x": 1}
+        raise RuntimeError("loader exploded")
+
+    with DevicePrefetcher(bad(), depth=2) as pf:
+        next(pf)
+        with pytest.raises(RuntimeError, match="loader exploded"):
+            next(pf)
+
+
+def test_device_prefetcher_close_unblocks_infinite_stream():
+    import itertools
+    from sgnn_tpu.data.prefetch import DevicePrefetcher
+
+    pf = DevicePrefetcher(({"i": i} for i in itertools.count()), depth=1)
+    assert next(pf)["i"] == 0
+    pf.close()  # must not hang

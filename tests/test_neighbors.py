@@ -181,3 +181,49 @@ def test_celltable_matches_grid_batched(rng):
         np.asarray(a.senders)[np.asarray(a.mask)],
         np.asarray(c.senders)[np.asarray(c.mask)],
     )
+
+
+def test_celltable_3d_and_boundary_wrap(rng):
+    """3D span gathers + particles packed against every domain face (the
+    span-wrap paths: cy-1 at cy=0 reads a far row and must be
+    distance-rejected, never duplicated)."""
+    from sgnn_tpu.ops.neighbors import (
+        radius_neighbors_celltable,
+        radius_neighbors_grid_batched,
+    )
+
+    b, n = 2, 200
+    pos = rng.uniform(0.0, 2.0, size=(b, n, 3)).astype(np.float32)
+    # pin particles onto the domain corners/faces
+    pos[:, :8] = np.array(
+        [[0, 0, 0], [2, 0, 0], [0, 2, 0], [0, 0, 2],
+         [2, 2, 0], [2, 0, 2], [0, 2, 2], [2, 2, 2]], np.float32
+    )
+    kw = dict(domain_min=(0.0, 0.0, 0.0), domain_max=(2.0, 2.0, 2.0),
+              max_neighbors=24, cell_capacity=32)
+    a = radius_neighbors_celltable(jnp.asarray(pos), 0.5, **kw)
+    c = radius_neighbors_grid_batched(jnp.asarray(pos), 0.5, **kw)
+    np.testing.assert_array_equal(np.asarray(a.mask), np.asarray(c.mask))
+    np.testing.assert_array_equal(
+        np.asarray(a.senders)[np.asarray(a.mask)],
+        np.asarray(c.senders)[np.asarray(c.mask)],
+    )
+
+
+def test_celltable_small_grid_fallback(rng):
+    """< 3 cells per axis routes to the grid_batched path (same results)."""
+    from sgnn_tpu.ops.neighbors import (
+        radius_neighbors_celltable,
+        radius_neighbors_grid_batched,
+    )
+
+    pos = rng.uniform(0.0, 1.0, size=(2, 50, 2)).astype(np.float32)
+    kw = dict(domain_min=(0.0, 0.0), domain_max=(1.0, 1.0),
+              max_neighbors=16, cell_capacity=64)
+    a = radius_neighbors_celltable(jnp.asarray(pos), 0.5, **kw)
+    c = radius_neighbors_grid_batched(jnp.asarray(pos), 0.5, **kw)
+    np.testing.assert_array_equal(np.asarray(a.mask), np.asarray(c.mask))
+    np.testing.assert_array_equal(
+        np.asarray(a.senders)[np.asarray(a.mask)],
+        np.asarray(c.senders)[np.asarray(c.mask)],
+    )
