@@ -532,9 +532,13 @@ def radius_neighbors_celltable(
     counts = jnp.zeros((total + 2,), jnp.int32).at[sorted_cid].add(1)
     starts = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]])
     rank = jnp.arange(b * n, dtype=jnp.int32) - starts[sorted_cid]
-    slot_ok = rank < cell_capacity  # capacity overflow drops occupants
+    # Capacity overflow drops occupants, into the masked-particle cell
+    # `total` — NOT the empty-sentinel row total+1, which invalid
+    # neighbor cells gather (real data there would surface as phantom
+    # candidates at domain borders).
+    slot_ok = (rank < cell_capacity) & (sorted_cid < total)
     flat_slot = jnp.where(
-        slot_ok, sorted_cid * cell_capacity + rank, (total + 1) * cell_capacity
+        slot_ok, sorted_cid * cell_capacity + rank, total * cell_capacity
     )
     # rows: [x..., idx] per occupant; empty slots hold +inf positions
     occ = jnp.concatenate(
@@ -562,15 +566,49 @@ def radius_neighbors_celltable(
     ) + jnp.repeat(batch_off.reshape(b), n)[:, None]
     nbr_cid = jnp.where(in_bounds, nbr_cid, total + 1)  # empty sentinel row
 
-    cand = table[nbr_cid].reshape(b * n, n_off * cell_capacity, dim + 1)
-    cand_pos = cand[..., :dim]
-    cand_idx = cand[..., dim]
+    # --- distance/validity on the INTERLEAVED [M, W] block -----------------
+    # Slicing channels out of [M, C, dim+1] tensors is layout-poison on
+    # TPU (last dim of 3 pads to 128 lanes, ~42x waste; measured ~5 ms of
+    # the search). Instead keep the gathered block 2D [M, W] and let the
+    # MXU do the de-interleave: d2 and the index channel come out of two
+    # matmuls with constant 0/1 selector matrices. precision=HIGHEST
+    # keeps them EXACT: each output sums one (d2: two) nonzero f32
+    # products, so no accumulation-order or bf16-split effects — the
+    # strict `< r` edge set is bit-identical to the elementwise form.
+    import numpy as _np
 
-    d = cand_pos - flat_pos[:, None, :]
-    d2 = jnp.sum(d * d, axis=-1)
+    w_row = cell_capacity * (dim + 1)
+    w = n_off * w_row
+    c_cand = n_off * cell_capacity
+    cand = table[nbr_cid].reshape(b * n, w)
+    # sanitize inf (empty slots) so 0-coefficient products can't nan the
+    # matmuls; BIG keeps d2 of empties astronomically outside r.
+    big = jnp.asarray(1e9, positions.dtype)
+    cand = jnp.minimum(cand, big)
+
+    lane = _np.arange(w)
+    lane_ch = lane % (dim + 1)
+    lane_j = lane // (dim + 1)  # candidate index of each lane
+    sel_d = _np.zeros((w, c_cand), _np.float32)
+    sel_i = _np.zeros((w, c_cand), _np.float32)
+    sel_d[lane[lane_ch < dim], lane_j[lane_ch < dim]] = 1.0
+    sel_i[lane[lane_ch == dim], lane_j[lane_ch == dim]] = 1.0
+
+    pattern = jnp.zeros((b * n, w), positions.dtype)
+    for c in range(dim):
+        chmask = jnp.asarray((lane_ch == c).astype(_np.float32))
+        pattern = pattern + flat_pos[:, c : c + 1] * chmask[None, :]
+    t = cand - pattern
+    d2 = jnp.dot(
+        t * t, jnp.asarray(sel_d), precision=jax.lax.Precision.HIGHEST
+    )  # [M, C]
+    cand_idx = jnp.dot(
+        cand, jnp.asarray(sel_i), precision=jax.lax.Precision.HIGHEST
+    )  # [M, C] — exact: floats < 2^24, single nonzero term per column
+
     r2 = jnp.asarray(radius, positions.dtype) ** 2
     within = (d2 < r2) if strict else (d2 <= r2)
-    within &= jnp.isfinite(cand_idx) & flat_mask[:, None]
+    within &= flat_mask[:, None]  # empty/garbage slots fail the d2 test
     cand_i32 = jnp.where(within, cand_idx, 0.0).astype(jnp.int32)
     if not include_self:
         row_ids = jax.lax.broadcasted_iota(jnp.int32, cand_i32.shape, 0)

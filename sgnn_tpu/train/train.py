@@ -297,6 +297,7 @@ def train(cfg: TrainConfig) -> dict:
     step = int(state["step"])
     t_last = time.time()
     prefetch = DevicePrefetcher(batcher.epochs(), depth=2, put=batch_put)
+    interrupted = False
     try:
         for device_batch in prefetch:
             if step >= cfg.ntraining_steps:
@@ -347,13 +348,16 @@ def train(cfg: TrainConfig) -> dict:
                     path = ckpt.save_best(state, step, lowest_eval_loss)
                     print(f"  new best -> {path.name}")
     except KeyboardInterrupt:
+        # reference behavior: always save a final fallback checkpoint on
+        # interrupt (train.py:401-417)
+        interrupted = True
         print("training interrupted")
     finally:
         prefetch.close()
 
-    if lowest_eval_loss == float("inf"):
+    if interrupted or lowest_eval_loss == float("inf"):
         path = ckpt.save_final(state, step)
-        print(f"no validation ran; saved fallback {path.name}")
+        print(f"saved fallback {path.name}")
     logger.close()
     return {"step": step, "lowest_eval_loss": lowest_eval_loss}
 
