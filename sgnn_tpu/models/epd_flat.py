@@ -81,6 +81,32 @@ def _pallas_eligible(edge_mlp: Params, m: int, k: int, d: int) -> bool:
     return True
 
 
+def _mlp_tail_in(mlp_params: Params, h: jnp.ndarray) -> jnp.ndarray:
+    """_mlp_tail that keeps activations in h's dtype (casts weights).
+
+    Identical to _mlp_tail for f32 inputs; for bf16 edge pipelines it
+    keeps every materialized [M*K, H] tensor bf16 — profiling showed the
+    f32-h variant spent ~6 ms/step on f32 layout copies (the transposed
+    operands of the weight-grad matmuls) and broadcast materializations
+    that all halve in bf16.
+    """
+    dt = h.dtype
+    layers = mlp_params["layers"]
+    if len(layers) == 1:
+        return h
+    x = jax.nn.relu(h)
+    for layer in layers[1:-1]:
+        x = jax.nn.relu(
+            jnp.dot(x, layer["w"].astype(dt), preferred_element_type=jnp.float32).astype(dt)
+            + layer["b"].astype(dt)
+        )
+    last = layers[-1]
+    return (
+        jnp.dot(x, last["w"].astype(dt), preferred_element_type=jnp.float32).astype(dt)
+        + last["b"].astype(dt)
+    )
+
+
 def _edge_block_xla(
     params: Params,
     e: jnp.ndarray,  # [M*K, D] edge latents (padded slots zero)
@@ -91,18 +117,24 @@ def _edge_block_xla(
     b_e: jnp.ndarray,
     k: int,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """XLA fallback of the fused block: same math, compiler-fused."""
+    """XLA fallback of the fused block: same math, compiler-fused.
+
+    Every edge-sized intermediate stays in e's dtype; only the LayerNorm
+    moments run f32 (inside layer_norm_apply). Bit-identical to the
+    previous f32-h formulation when e is f32.
+    """
     m = proj_i.shape[0]
     d = e.shape[-1]
-    h = jnp.dot(e, w_e.astype(e.dtype), preferred_element_type=jnp.float32)
-    h = (h + xj.astype(jnp.float32)).reshape(m, k, -1)
-    h = h + proj_i.astype(jnp.float32)[:, None, :] + b_e
+    dt = e.dtype
+    h = jnp.dot(e, w_e.astype(dt), preferred_element_type=jnp.float32).astype(dt)
+    h = (h + xj.astype(dt)).reshape(m, k, -1)
+    h = h + proj_i.astype(dt)[:, None, :] + b_e.astype(dt)
     h = h.reshape(m * k, -1)
-    msg = _mlp_tail(params["mlp"], h)
+    msg = _mlp_tail_in(params["mlp"], h)
     msg = layer_norm_apply(params["ln"], msg)
-    msg = msg * maskf
-    new_e = e + msg.astype(e.dtype)
-    agg = jnp.sum(msg.reshape(m, k, d), axis=1)
+    msg = msg * maskf.astype(dt)
+    new_e = e + msg
+    agg = jnp.sum(msg.reshape(m, k, d).astype(jnp.float32), axis=1)
     return new_e, agg
 
 
