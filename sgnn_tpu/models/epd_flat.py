@@ -220,6 +220,9 @@ def encode_process_decode_apply_flat(
             e = new_e
             agg = agg.astype(jnp.float32)
         else:
+            # (jax.checkpoint around this block was tried and measured
+            # SLOWER — 38.3 -> 40.8 ms/step: the recomputed matmuls cost
+            # more than the f32 LN-residual copies they avoid.)
             e, agg = _edge_block_xla(
                 step_params["edge"], e, xj, proj_i, maskf, w_e, b_e, k
             )

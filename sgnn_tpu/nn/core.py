@@ -19,6 +19,7 @@ identity on the final layer.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict, List, Sequence
 
 import jax
@@ -77,14 +78,55 @@ def layer_norm_init(dim: int, dtype=jnp.float32) -> Params:
     return {"scale": jnp.ones((dim,), dtype), "bias": jnp.zeros((dim,), dtype)}
 
 
-def layer_norm_apply(params: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+def _ln_forward(params: Params, x: jnp.ndarray, eps: float):
     # Compute moments in f32 regardless of activation dtype for stability.
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
-    y = (xf - mean) * jax.lax.rsqrt(var + eps)
-    y = y * params["scale"].astype(jnp.float32) + params["bias"].astype(jnp.float32)
-    return y.astype(x.dtype)
+    inv = jax.lax.rsqrt(var + eps)
+    xhat = (xf - mean) * inv
+    y = xhat * params["scale"].astype(jnp.float32) + params["bias"].astype(jnp.float32)
+    return y.astype(x.dtype), mean, inv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def layer_norm_apply(params: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """LayerNorm with f32 moments and a residual-lean custom VJP.
+
+    Plain AD saves the f32 normalized activations for the backward; on
+    bf16 pipelines those f32 [E, D] residuals dominated HBM copies
+    (BASELINE.md profile). The custom VJP saves only the input (in its
+    own dtype) plus the [., 1] mean/inv vectors and recomputes xhat in
+    the backward — the standard LN gradient, same math as AD up to fp
+    association.
+    """
+    y, _, _ = _ln_forward(params, x, eps)
+    return y
+
+
+def _ln_fwd(params: Params, x: jnp.ndarray, eps: float):
+    y, mean, inv = _ln_forward(params, x, eps)
+    return y, (params["scale"], x, mean, inv)
+
+
+def _ln_bwd(eps: float, res, g):
+    scale, x, mean, inv = res
+    xf = x.astype(jnp.float32)
+    xhat = (xf - mean) * inv
+    gf = g.astype(jnp.float32)
+    g_xhat = gf * scale.astype(jnp.float32)
+    g_x = inv * (
+        g_xhat
+        - jnp.mean(g_xhat, axis=-1, keepdims=True)
+        - xhat * jnp.mean(g_xhat * xhat, axis=-1, keepdims=True)
+    )
+    reduce_axes = tuple(range(x.ndim - 1))
+    g_scale = jnp.sum(gf * xhat, axis=reduce_axes).astype(scale.dtype)
+    g_bias = jnp.sum(gf, axis=reduce_axes).astype(scale.dtype)
+    return {"scale": g_scale, "bias": g_bias}, g_x.astype(x.dtype)
+
+
+layer_norm_apply.defvjp(_ln_fwd, _ln_bwd)
 
 
 # --- MLP + LayerNorm (the reference's encoder/IN building block) -----------

@@ -40,6 +40,58 @@ def trace_region(name: str):
         yield
 
 
+def summarize_trace(logdir: str, top: int = 20) -> list[dict]:
+    """Offline summary of a jax.profiler trace: per-op device time.
+
+    Parses the newest ``*.xplane.pb`` under ``logdir`` directly (the
+    tensorboard profile plugin in this environment cannot convert
+    xspaces) and returns op rows sorted by total device time, plus a
+    category rollup — the tool that found the layout-copy and
+    search-sliver hotspots recorded in BASELINE.md.
+
+    Returns [{name, ms, category}...] with a trailing row per category.
+    Requires the tensorflow tsl protos (present wherever tensorboard
+    is); raises ImportError otherwise.
+    """
+    import collections
+    import glob
+    import os
+    import re
+
+    os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2  # type: ignore
+
+    paths = sorted(glob.glob(f"{logdir}/**/*.xplane.pb", recursive=True))
+    if not paths:
+        raise FileNotFoundError(f"no .xplane.pb under {logdir}")
+    space = xplane_pb2.XSpace()
+    with open(paths[-1], "rb") as f:
+        space.ParseFromString(f.read())
+    rows: list[dict] = []
+    for plane in space.planes:
+        if not plane.name.startswith("/device:"):
+            continue
+        emeta = {m.id: m.name for m in plane.event_metadata.values()}
+        agg: dict = collections.Counter()
+        cat: dict = collections.Counter()
+        steps = 1
+        for line in plane.lines:
+            if line.name == "Steps":
+                steps = max(1, len(line.events))
+            if line.name != "XLA Ops":
+                continue
+            for ev in line.events:
+                name = emeta.get(ev.metadata_id, "?")
+                ms = ev.duration_ps / 1e9
+                agg[name] += ms
+                cat[re.split(r"[._\d]", name, 1)[0]] += ms
+        for name, ms in agg.most_common(top):
+            rows.append({"name": name, "ms_per_step": ms / steps, "category": "op"})
+        for name, ms in cat.most_common():
+            rows.append({"name": name, "ms_per_step": ms / steps, "category": "rollup"})
+    return rows
+
+
 class StepProfiler:
     """Lightweight throughput counter: steps/s and edge-updates/s."""
 

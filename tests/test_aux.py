@@ -135,3 +135,29 @@ def test_device_prefetcher_close_unblocks_infinite_stream():
     pf = DevicePrefetcher(({"i": i} for i in itertools.count()), depth=1)
     assert next(pf)["i"] == 0
     pf.close()  # must not hang
+
+
+def test_render_rollout_gif(tmp_path, rng):
+    """Renderer writes a GIF from the trainer's rollout pickle schema,
+    including batch mode (render_rollout.py:248-299, 357-396 parity)."""
+    import pickle
+    from sgnn_tpu.viz.render_rollout import render_rollout_dict, render_rollout_file
+
+    t, n = 4, 30
+    gt = rng.normal(size=(t, n, 2)).astype(np.float32)
+    rollout = {
+        "ground_truth_rollout": gt,
+        "predicted_rollout": gt + 0.01,
+        "ground_truth_strain": rng.normal(size=(t, n)).astype(np.float32),
+        "predicted_strain": rng.normal(size=(t, n)).astype(np.float32),
+        "rmse_position": np.linspace(0, 1e-2, t),
+        "particle_types": np.zeros(n, np.int32),
+        "metadata": {"stress_mean": 150.0, "stress_std": 80.0},
+    }
+    out = render_rollout_dict(rollout, tmp_path / "case.gif", fps=2)
+    assert out.exists() and out.stat().st_size > 1000
+
+    with open(tmp_path / "case.pkl", "wb") as f:
+        pickle.dump(rollout, f)
+    out2 = render_rollout_file(tmp_path / "case.pkl", tmp_path / "case2.gif", fps=2)
+    assert out2.exists()

@@ -69,3 +69,41 @@ def test_embedding(rng):
     out = embedding_apply(p, ids)
     assert out.shape == (4, 16)
     np.testing.assert_allclose(np.asarray(out[1]), np.asarray(out[3]))
+
+
+def test_layer_norm_custom_vjp_grads_match_autodiff(rng):
+    """The residual-lean LN VJP == plain-AD gradients (both dtypes)."""
+    import jax
+    import jax.numpy as jnp
+    from sgnn_tpu.nn.core import layer_norm_apply, layer_norm_init
+
+    def plain_ln(params, x, eps=1e-5):
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+        y = (xf - mu) * jax.lax.rsqrt(var + eps)
+        y = y * params["scale"].astype(jnp.float32) + params["bias"].astype(jnp.float32)
+        return y.astype(x.dtype)
+
+    params = layer_norm_init(16)
+    params = {
+        "scale": params["scale"] + jnp.asarray(rng.normal(size=16, scale=0.1), jnp.float32),
+        "bias": params["bias"] + jnp.asarray(rng.normal(size=16, scale=0.1), jnp.float32),
+    }
+    x = jnp.asarray(rng.normal(size=(40, 16)).astype(np.float32))
+    cot = jnp.asarray(rng.normal(size=(40, 16)).astype(np.float32))
+
+    def loss(fn, p, xx):
+        return jnp.sum(fn(p, xx) * cot)
+
+    g_ref = jax.grad(lambda p, xx: loss(plain_ln, p, xx), argnums=(0, 1))(params, x)
+    g_new = jax.grad(lambda p, xx: loss(layer_norm_apply, p, xx), argnums=(0, 1))(params, x)
+    for a, b in zip(jax.tree.leaves(g_new), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+    # bf16 activations: compare against AD of the same bf16 function
+    xb = x.astype(jnp.bfloat16)
+    g_ref16 = jax.grad(lambda p: loss(plain_ln, p, xb))(params)
+    g_new16 = jax.grad(lambda p: loss(layer_norm_apply, p, xb))(params)
+    for a, b in zip(jax.tree.leaves(g_new16), jax.tree.leaves(g_ref16)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-2, atol=2e-2)
