@@ -34,7 +34,7 @@ import optax
 
 from sgnn_tpu.physics.simulator import NormStats, SimulatorConfig, simulator_init
 from sgnn_tpu.train.config import TrainConfig
-from sgnn_tpu.train.train import make_train_step
+from sgnn_tpu.train.train import make_train_multi_step
 
 # Self-baseline: first end-to-end measurement (round 1, unoptimized XLA-only
 # path, TPU v5e, 2026-08-17; recorded in BASELINE.md). vs_baseline > 1 means
@@ -119,7 +119,6 @@ def main():
     nl = compute_neighbors(sim_cfg, batch["positions"][0, :, -1])
     edges_per_graph = int(nl.count_edges())
 
-    train_step = make_train_step(sim_cfg, stats, cfg, tx)
     key = jax.random.key(1)
 
     def sync(x):
@@ -127,15 +126,25 @@ def main():
         # fetching a scalar is.
         return float(jnp.sum(jax.tree.leaves(x)[0]))
 
-    for _ in range(WARMUP):
-        state, metrics = train_step(state, batch, key)
+    # Steady-state loop: ITERS optimizer steps per dispatch via lax.scan
+    # (make_train_multi_step) — the TPU-idiomatic driver the trainer uses
+    # for inner_steps > 1. One dispatch amortizes host/runtime launch
+    # latency (~1 ms/step through this environment's remote-TPU tunnel).
+    multi_step = make_train_multi_step(sim_cfg, stats, cfg, tx, num_steps=ITERS)
+    stacked = jax.tree.map(
+        lambda x: jnp.broadcast_to(x[None], (ITERS,) + x.shape), batch
+    )
+    for _ in range(max(WARMUP // 2, 1)):
+        state, metrics = multi_step(state, stacked, key)
     sync(metrics)
 
+    rounds = 3  # 3 dispatches x ITERS steps, state-chained
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        state, metrics = train_step(state, batch, key)
+    for _ in range(rounds):
+        state, metrics = multi_step(state, stacked, key)
     sync(metrics)
-    dt = (time.perf_counter() - t0) / ITERS
+    dt = (time.perf_counter() - t0) / (ITERS * rounds)
+    metrics = jax.tree.map(lambda x: x[-1], metrics)
 
     edge_updates = BATCH * edges_per_graph * LAYERS
     edges_per_s = edge_updates / dt

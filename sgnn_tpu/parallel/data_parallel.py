@@ -38,3 +38,25 @@ def make_dp_train_step(train_step: Callable, mesh: Mesh) -> Callable:
         return train_step(state, batch, key)
 
     return dp_step
+
+
+def shard_stacked_batch(mesh: Mesh, batches: dict) -> dict:
+    """shard_batch for time-stacked batches [T, B, ...]: axis 1 over 'data'."""
+    from sgnn_tpu.parallel.mesh import stacked_batch_sharding
+
+    return {
+        k: jax.device_put(v, stacked_batch_sharding(mesh, v.ndim))
+        for k, v in batches.items()
+    }
+
+
+def make_dp_train_multi_step(multi_step: Callable, mesh: Mesh) -> Callable:
+    """DP wrapper for make_train_multi_step: (state, batches[T,B,...], key)."""
+    rep = replicated(mesh)
+
+    def dp_multi(state, batches, key):
+        state = jax.device_put(state, rep)
+        batches = shard_stacked_batch(mesh, batches)
+        return multi_step(state, batches, key)
+
+    return dp_multi

@@ -40,5 +40,10 @@ def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
     return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
 
 
+def stacked_batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """Shard axis 1 (batch) of a time-stacked [T, B, ...] array over 'data'."""
+    return NamedSharding(mesh, P(None, "data", *([None] * (ndim - 2))))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())

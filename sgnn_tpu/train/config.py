@@ -90,6 +90,10 @@ class TrainConfig:
     # is symmetric. Only profitable together with bf16 (BASELINE.md).
     symmetric_gather: Optional[bool] = None
     compute_dtype: str = "float32"
+    # Optimizer steps per device dispatch (lax.scan inner loop,
+    # train.make_train_multi_step). >1 amortizes host launch latency;
+    # log_every/nsave_steps/ntraining_steps must be multiples of it.
+    inner_steps: int = 1
     seed: int = 0
     log_every: int = 10
 

@@ -116,7 +116,10 @@ def lr_schedule(cfg: TrainConfig):
 
 def make_train_step(sim_cfg: SimulatorConfig, stats: NormStats, cfg: TrainConfig, tx):
     """Build the jitted (state, batch, key) -> (state, metrics) step."""
+    return jax.jit(_make_step_body(sim_cfg, stats, cfg, tx))
 
+
+def _make_step_body(sim_cfg: SimulatorConfig, stats: NormStats, cfg: TrainConfig, tx):
     def loss_fn(params, batch, key):
         noise = random_walk_position_noise(
             key, batch["positions"].shape, cfg.noise_std
@@ -156,8 +159,7 @@ def make_train_step(sim_cfg: SimulatorConfig, stats: NormStats, cfg: TrainConfig
             aux["train/loss-z"] = loss_xy[2]
         return loss, aux
 
-    @jax.jit
-    def train_step(state, batch, key):
+    def step_body(state, batch, key):
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state["params"], batch, key
         )
@@ -171,7 +173,40 @@ def make_train_step(sim_cfg: SimulatorConfig, stats: NormStats, cfg: TrainConfig
         metrics = {"train/loss": loss, **aux}
         return new_state, metrics
 
-    return train_step
+    return step_body
+
+
+def make_train_multi_step(
+    sim_cfg: SimulatorConfig, stats: NormStats, cfg: TrainConfig, tx, num_steps: int
+):
+    """Build a jitted (state, batches, key) -> (state, metrics) MULTI-step.
+
+    Runs ``num_steps`` optimizer steps inside one XLA program via
+    ``lax.scan`` over batches whose leaves carry a leading [num_steps]
+    axis (stage them with data/prefetch or jnp.stack). Per-step math is
+    identical to make_train_step (pinned by tests); per-step noise keys
+    are ``fold_in(key, i)``. Metrics come back with a leading
+    [num_steps] axis.
+
+    This is the TPU-idiomatic steady-state loop: one dispatch amortizes
+    host/runtime launch latency over many steps — through this
+    environment's remote-TPU tunnel that latency is ~1 ms/step, ~25% of
+    the whole optimized step (BASELINE.md r1).
+    """
+    body = _make_step_body(sim_cfg, stats, cfg, tx)
+
+    @jax.jit
+    def multi_step(state, batches, key):
+        def scan_body(carry, xs):
+            i, batch = xs
+            new_state, metrics = body(carry, batch, jax.random.fold_in(key, i))
+            return new_state, metrics
+
+        idx = jnp.arange(num_steps, dtype=jnp.uint32)
+        state, metrics = jax.lax.scan(scan_body, state, (idx, batches))
+        return state, metrics
+
+    return multi_step
 
 
 def evaluate_split(
@@ -220,6 +255,18 @@ def make_jit_rollout(sim_cfg: SimulatorConfig, stats: NormStats, mode: str):
 # --------------------------------------------------------------------------
 
 
+def _stack_host_batches(gen, t: int):
+    """Group t host batches into one with a leading [t] axis (np.stack)."""
+    while True:
+        group = []
+        for _ in range(t):
+            try:
+                group.append(next(gen))
+            except StopIteration:
+                return
+        yield {k: np.stack([g[k] for g in group]) for k in group[0]}
+
+
 def train(cfg: TrainConfig) -> dict:
     data_dir = Path(cfg.data_path)
     metadata = load_metadata(data_dir)
@@ -252,11 +299,25 @@ def train(cfg: TrainConfig) -> dict:
         seed=cfg.seed,
     )
     valid_loader = TrajectoryLoader(data_dir / "valid.npz", pad_multiple=cfg.pad_multiple)
-    train_step = make_train_step(sim_cfg, stats, cfg, tx)
+    inner = max(1, int(cfg.inner_steps))
+    if inner > 1:
+        for name in ("log_every", "nsave_steps", "ntraining_steps"):
+            if getattr(cfg, name) % inner:
+                raise ValueError(
+                    f"{name}={getattr(cfg, name)} must be a multiple of "
+                    f"inner_steps={inner}"
+                )
+        train_step = make_train_multi_step(sim_cfg, stats, cfg, tx, inner)
+    else:
+        train_step = make_train_step(sim_cfg, stats, cfg, tx)
     batch_put = None
     if cfg.data_parallel > 1:
         from sgnn_tpu.parallel import make_dp_train_step, make_mesh
-        from sgnn_tpu.parallel.data_parallel import shard_batch
+        from sgnn_tpu.parallel.data_parallel import (
+            make_dp_train_multi_step,
+            shard_batch,
+            shard_stacked_batch,
+        )
 
         if cfg.batch_size % cfg.data_parallel:
             raise ValueError(
@@ -264,8 +325,12 @@ def train(cfg: TrainConfig) -> dict:
                 f"data_parallel {cfg.data_parallel}"
             )
         mesh = make_mesh(data=cfg.data_parallel, graph=1)
-        train_step = make_dp_train_step(train_step, mesh)
-        batch_put = lambda b: shard_batch(mesh, b)  # prefetch straight to shards
+        if inner > 1:
+            train_step = make_dp_train_multi_step(train_step, mesh)
+            batch_put = lambda b: shard_stacked_batch(mesh, b)
+        else:
+            train_step = make_dp_train_step(train_step, mesh)
+            batch_put = lambda b: shard_batch(mesh, b)  # prefetch straight to shards
         print(f"data-parallel over {cfg.data_parallel} devices")
     jit_rollout = make_jit_rollout(sim_cfg, stats, cfg.inference_mode)
     logger = MetricLogger(
@@ -296,7 +361,10 @@ def train(cfg: TrainConfig) -> dict:
 
     step = int(state["step"])
     t_last = time.time()
-    prefetch = DevicePrefetcher(batcher.epochs(), depth=2, put=batch_put)
+    source = batcher.epochs()
+    if inner > 1:
+        source = _stack_host_batches(source, inner)
+    prefetch = DevicePrefetcher(source, depth=2, put=batch_put)
     interrupted = False
     try:
         for device_batch in prefetch:
@@ -304,7 +372,10 @@ def train(cfg: TrainConfig) -> dict:
                 break
             key, step_key = jax.random.split(key)
             state, metrics = train_step(state, device_batch, step_key)
-            step += 1
+            step += inner
+            if inner > 1:
+                # per-step metrics come back stacked [inner]; report the last
+                metrics = jax.tree.map(lambda x: x[-1], metrics)
 
             if step % cfg.log_every == 0:
                 metrics = {k: float(v) for k, v in metrics.items()}

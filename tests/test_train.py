@@ -106,3 +106,97 @@ def test_train_data_parallel_smoke(tiny_env):
     )
     result = train(cfg)
     assert result["step"] == 6
+
+
+def test_multi_step_matches_single_steps():
+    """lax.scan multi-step == the same single steps run back to back."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from sgnn_tpu.physics.simulator import (
+        NormStats, SimulatorConfig, simulator_init,
+    )
+    from sgnn_tpu.train.train import make_train_multi_step, make_train_step
+
+    n, s, b, t = 24, 4, 2, 3
+    sim_cfg = SimulatorConfig(
+        dim=2, latent_dim=8, num_message_passing_steps=2,
+        input_sequence_length=s, connectivity_radius=0.6, max_neighbors=20,
+    )
+    stats = NormStats(
+        vel_mean=jnp.zeros(2), vel_std=jnp.ones(2),
+        acc_mean=jnp.zeros(2), acc_std=jnp.ones(2),
+    )
+    cfg = TrainConfig(
+        batch_size=b, noise_std=0.001, input_sequence_length=s,
+        hidden_dim=8, layers=2,
+    )
+    params = simulator_init(jax.random.key(0), sim_cfg)
+    tx = optax.adam(1e-3)
+    state0 = {
+        "params": params,
+        "opt_state": tx.init(params),
+        "step": jnp.asarray(0, jnp.int32),
+    }
+    rng = np.random.default_rng(0)
+    grid = np.stack(
+        np.meshgrid(np.arange(6) * 0.5, np.arange(4) * 0.5, indexing="ij"), -1
+    ).reshape(-1, 2).astype(np.float32)
+
+    def mkbatch(i):
+        return {
+            "positions": jnp.asarray(
+                grid[None, :, None, :]
+                + rng.normal(scale=0.002, size=(b, n, s, 2)).cumsum(2).astype(np.float32)
+            ),
+            "next_position": jnp.asarray(
+                grid[None] + rng.normal(scale=0.004, size=(b, n, 2)).astype(np.float32)
+            ),
+            "next_strain": jnp.asarray(rng.normal(size=(b, n)).astype(np.float32)),
+            "particle_type": jnp.zeros((b, n), jnp.int32),
+            "node_mask": jnp.ones((b, n), bool),
+        }
+
+    batches = [mkbatch(i) for i in range(t)]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+    key = jax.random.key(7)
+
+    single = make_train_step(sim_cfg, stats, cfg, tx)
+    st = state0
+    single_losses = []
+    for i in range(t):
+        st, m = single(st, batches[i], jax.random.fold_in(key, np.uint32(i)))
+        single_losses.append(float(m["train/loss"]))
+
+    multi = make_train_multi_step(sim_cfg, stats, cfg, tx, num_steps=t)
+    st2, metrics = multi(state0, stacked, key)
+
+    assert int(st2["step"]) == t
+    np.testing.assert_allclose(
+        np.asarray(metrics["train/loss"]), np.asarray(single_losses), rtol=2e-5, atol=2e-6
+    )
+    for a, b_ in zip(jax.tree.leaves(st["params"]), jax.tree.leaves(st2["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=2e-5, atol=2e-6)
+
+
+def test_train_inner_steps_smoke(tiny_env):
+    """Scanned inner loop (inner_steps=2), alone and composed with DP."""
+    root, data = tiny_env
+    cfg = tiny_config(
+        root, data, ntraining_steps=8, nsave_steps=8, log_every=4,
+        inner_steps=2, run_name="inner",
+    )
+    assert train(cfg)["step"] == 8
+    cfg = tiny_config(
+        root, data, ntraining_steps=8, nsave_steps=8, log_every=4,
+        inner_steps=2, batch_size=8, data_parallel=4, run_name="innerdp",
+    )
+    assert train(cfg)["step"] == 8
+
+
+def test_train_inner_steps_divisibility_error(tiny_env):
+    root, data = tiny_env
+    cfg = tiny_config(root, data, ntraining_steps=9, inner_steps=2)
+    with pytest.raises(ValueError, match="inner_steps"):
+        train(cfg)
