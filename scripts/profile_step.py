@@ -73,9 +73,30 @@ def main():
     float(jnp.sum(metrics["train/loss"]))
     stop_trace()
 
-    rows = summarize_trace(logdir, top=40)
+    # Join per-op device times with HLO source metadata: dump the compiled
+    # module once and map %op names -> (shape, source_file:line).
+    import re
+
+    hlo = train_step.lower(state, batch, key).compile().as_text()
+    src = {}
+    for line in hlo.splitlines():
+        m = re.match(r"\s*(?:ROOT )?%([\w.\-]+) = (\S+)", line)
+        if not m:
+            continue
+        sm = re.search(r'source_file="([^"]+)".*?source_line=(\d+)', line)
+        src[m.group(1)] = (
+            m.group(2)[:46],
+            f"{sm.group(1).split('/')[-1]}:{sm.group(2)}" if sm else "",
+        )
+
+    rows = summarize_trace(logdir, top=60)
     for r in rows:
-        print(f"{r['ms_per_step']:9.3f} ms  {r['category']:6s}  {r['name'][:110]}")
+        name = r["name"].lstrip("%").split(" ")[0]
+        shape, where = src.get(name, ("", ""))
+        print(
+            f"{r['ms_per_step']:9.3f} ms  {r['category']:6s}  "
+            f"{name[:28]:28s} {shape:46s} {where}"
+        )
 
 
 if __name__ == "__main__":

@@ -29,6 +29,7 @@ update, the decoder and all parameters stay f32.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -95,16 +96,60 @@ def _mlp_tail_in(mlp_params: Params, h: jnp.ndarray) -> jnp.ndarray:
     if len(layers) == 1:
         return h
     x = jax.nn.relu(h)
+    # preferred_element_type=dt (not f32+astype): the MXU accumulates in
+    # f32 either way, so forward bits match — but AD's cotangents now stay
+    # in dt instead of materializing f32 [M*K, H] intermediates in bwd.
     for layer in layers[1:-1]:
         x = jax.nn.relu(
-            jnp.dot(x, layer["w"].astype(dt), preferred_element_type=jnp.float32).astype(dt)
+            jnp.dot(x, layer["w"].astype(dt), preferred_element_type=dt)
             + layer["b"].astype(dt)
         )
     last = layers[-1]
     return (
-        jnp.dot(x, last["w"].astype(dt), preferred_element_type=jnp.float32).astype(dt)
+        jnp.dot(x, last["w"].astype(dt), preferred_element_type=dt)
         + last["b"].astype(dt)
     )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _slot_sum_f32(msg: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Sum [M*K, D] messages over their K slots into f32 [M, D].
+
+    Same values as ``jnp.sum(msg.reshape(m,k,d).astype(f32), axis=1)``
+    up to f32 summation order. Two HBM-traffic tricks for bf16 messages
+    (both profiled on v5e at ~0.5 ms/layer combined):
+      * forward: the sum runs as a dot_general against ones with
+        preferred_element_type=f32 — f32 accumulation WITHOUT first
+        materializing (and re-laying-out) an f32 [M*K, D] convert of the
+        bf16 messages (products with 1.0 are exact);
+      * backward: AD's broadcast-in-f32 -> convert would materialize
+        another f32 [M*K, D]; the custom VJP converts the cotangent
+        FIRST and broadcasts in the input dtype — identical grads
+        (convert and broadcast commute).
+    """
+    m = msg.shape[0] // k
+    ones = jnp.ones((k,), msg.dtype)
+    return jax.lax.dot_general(
+        msg.reshape(m, k, -1),
+        ones,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _slot_sum_fwd(msg, k):
+    # residual: a zero-size array carrying only the input dtype
+    return _slot_sum_f32(msg, k), jnp.zeros((0,), msg.dtype)
+
+
+def _slot_sum_bwd(k, res, g):
+    dt = res.dtype
+    mk = g.shape[0] * k
+    gb = jnp.broadcast_to(g.astype(dt)[:, None, :], (g.shape[0], k, g.shape[1]))
+    return (gb.reshape(mk, -1),)
+
+
+_slot_sum_f32.defvjp(_slot_sum_fwd, _slot_sum_bwd)
 
 
 def _edge_block_xla(
@@ -126,7 +171,7 @@ def _edge_block_xla(
     m = proj_i.shape[0]
     d = e.shape[-1]
     dt = e.dtype
-    h = jnp.dot(e, w_e.astype(dt), preferred_element_type=jnp.float32).astype(dt)
+    h = jnp.dot(e, w_e.astype(dt), preferred_element_type=dt)
     h = (h + xj.astype(dt)).reshape(m, k, -1)
     h = h + proj_i.astype(dt)[:, None, :] + b_e.astype(dt)
     h = h.reshape(m * k, -1)
@@ -134,7 +179,7 @@ def _edge_block_xla(
     msg = layer_norm_apply(params["ln"], msg)
     msg = msg * maskf.astype(dt)
     new_e = e + msg
-    agg = jnp.sum(msg.reshape(m, k, d).astype(jnp.float32), axis=1)
+    agg = _slot_sum_f32(msg, k)
     return new_e, agg
 
 

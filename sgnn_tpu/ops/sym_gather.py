@@ -35,13 +35,19 @@ def reverse_edge_positions(
     For a symmetric, uncapped graph rev_ok == mask; callers may assert.
     """
     r, k = senders.shape
-    # rows of each edge's sender: senders[j] for j = senders[i, :]
-    sos = senders[senders]  # [R, K, K]
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (r, k, k), 0)
-    hit = (sos == row_ids) & mask[senders]  # [R, K, K]
+    # 2D formulation: the naive [R, K, K] form (gather senders-of-senders
+    # and mask as 3D tensors) pays ~1 ms/step of layout copies on TPU
+    # (minor dims of K force T(8,128) relayouts). Instead pack validity
+    # into the sender table as -1 (node ids are >= 0, so an invalid slot
+    # can never equal a receiver id) and do ONE flat [R*K, K] row gather.
+    flat_s = senders.reshape(-1)  # [R*K]
+    packed = jnp.where(mask, senders, -1)
+    sos = packed[flat_s]  # [R*K, K] — valid senders of each edge's sender
+    rows = jax.lax.broadcasted_iota(jnp.int32, (r, k), 0).reshape(-1, 1)
+    hit = sos == rows  # [R*K, K]
     kp = jnp.argmax(hit, axis=-1).astype(jnp.int32)  # first match slot
-    rev_ok = jnp.any(hit, axis=-1) & mask
-    rev_pos = senders * k + kp
+    rev_ok = (jnp.any(hit, axis=-1) & mask.reshape(-1)).reshape(r, k)
+    rev_pos = (flat_s * k + kp).reshape(r, k)
     rev_pos = jnp.where(rev_ok, rev_pos, 0)
     return rev_pos, rev_ok
 
