@@ -70,6 +70,9 @@ def main():
         # The bench lattice's true max degree is 5 (self + 4 axial at
         # r=0.6 on 0.5 spacing); 8 slots keep exact cap-20 semantics while
         # shrinking edge tensors/gathers 2.5x (see neighbor_slots doc).
+        # slots=7 (the trainer's auto rule) was measured SLOWER (31.3 vs
+        # 30.6 ms/step): the 12.5% row reduction loses to odd-width
+        # sublane tiling. Keep slot widths a multiple of 8.
         neighbor_slots=8,
         domain=((-5.0, -30.0), (80.0, 30.0)),
         # Valid because max degree (5) <= slots (8): the radius graph is

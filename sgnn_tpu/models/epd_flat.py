@@ -128,6 +128,13 @@ def _slot_sum_f32(msg: jnp.ndarray, k: int) -> jnp.ndarray:
         (convert and broadcast commute).
     """
     m = msg.shape[0] // k
+    # The barrier stops XLA from "helpfully" tapping the producer fusion's
+    # internal f32 value for this reduce: without it the compiler emits an
+    # f32 [M*K, D] tuple output in column-major layout plus a relayout
+    # copy (~0.5 ms/layer measured); with it the reduce re-reads the bf16
+    # messages (which are materialized anyway for the edge residual) and
+    # fuses the f32 convert into the reduction.
+    msg = jax.lax.optimization_barrier(msg)
     ones = jnp.ones((k,), msg.dtype)
     return jax.lax.dot_general(
         msg.reshape(m, k, -1),

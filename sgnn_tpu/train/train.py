@@ -73,6 +73,10 @@ def simulator_config_from(cfg: TrainConfig, metadata: dict) -> SimulatorConfig:
     if slots is None and max_degree is not None:
         # +2 margin: training noise can move a pair across the radius.
         slots = min(max_neighbors, int(max_degree) + 2)
+        # Align the slot width for TPU tiling: odd widths measured slower
+        # than the next multiple up (7 slots ran 2% slower than 8 at
+        # bench scale despite 12.5% fewer edge rows — sublane tiling).
+        slots = min(max_neighbors, 8 if slots <= 8 else -(-slots // 4) * 4)
     symmetric = cfg.symmetric_gather
     if symmetric is None:
         # Only profitable with bf16 edge latents (f32 measured slower —
