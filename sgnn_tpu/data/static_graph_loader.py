@@ -36,14 +36,22 @@ def _build_graphs(
     ms_cfg: MultiScaleConfig,
     edge_pad_multiple: int,
     *,
-    dense: bool = False,
+    dense: bool | str = False,
     num_nodes: int = 0,
+    m2m_traversals: int = 6,
 ) -> List[StaticGraph] | List[DenseStaticGraph]:
     """One static graph per trajectory from frame-0 positions, common padding.
 
     dense=True emits the TPU-fast dense-slot layout (DenseStaticGraph):
     receiver rows and slot widths pad to the dataset-wide max per edge
-    type so every trajectory shares one static shape.
+    type so every trajectory shares one static shape. dense="auto" picks
+    the layout from the dataset's actual degree distributions: dense
+    wins unless slot padding inflates traversal-weighted edge rows >2x
+    over the COO edge count (the measured crossover — dense removes the
+    per-edge scatters and, with the static transpose plan, the backward
+    ones too, worth about that factor on v5e; BASELINE.md r1). m2m edges
+    are traversed `m2m_traversals` times per forward (the M2M stack
+    depth), g2m/m2g once.
     """
     raw = []
     for pos, _, _ in trajectories:
@@ -51,6 +59,25 @@ def _build_graphs(
         raw.append(create_all_edges(ms_cfg, pos[0]))
 
     keys = ("grid2mesh_edges", "mesh2mesh_edges", "mesh2grid_edges")
+    if dense == "auto":
+        import numpy as _np
+
+        w = {keys[0]: 1, keys[1]: max(1, m2m_traversals), keys[2]: 1}
+        dense_rows, coo_rows = 0, 0
+        for k in keys:
+            r_max, k_max, e_max = 1, 1, 1
+            for r in raw:
+                _, counts = _np.unique(r[k].receivers, return_counts=True)
+                r_max = max(r_max, len(counts))
+                k_max = max(k_max, int(counts.max()) if len(counts) else 1)
+                e_max = max(e_max, len(r[k].senders))
+            dense_rows += w[k] * _round_up(r_max, 8) * _round_up(k_max, 4)
+            coo_rows += w[k] * _round_up(e_max, edge_pad_multiple)
+        dense = dense_rows <= 2 * coo_rows
+        print(
+            f"ms layout auto: {'dense' if dense else 'coo'} "
+            f"(dense rows {dense_rows} vs coo rows {coo_rows})"
+        )
     if not dense:
         sizes = {
             k: _round_up(max(max(len(r[k].senders) for r in raw), 1), edge_pad_multiple)
@@ -67,20 +94,30 @@ def _build_graphs(
 
     import numpy as _np
 
-    rows, slots = {}, {}
+    rows, slots, trows, tslots = {}, {}, {}, {}
     for k in keys:
-        r_max, k_max = 1, 1
+        r_max, k_max, sr_max, sk_max = 1, 1, 1, 1
         for r in raw:
             recv, counts = _np.unique(r[k].receivers, return_counts=True)
             r_max = max(r_max, len(recv))
             k_max = max(k_max, int(counts.max()) if len(counts) else 1)
+            snd, scounts = _np.unique(r[k].senders, return_counts=True)
+            sr_max = max(sr_max, len(snd))
+            sk_max = max(sk_max, int(scounts.max()) if len(scounts) else 1)
         rows[k] = _round_up(r_max, 8)
         slots[k] = _round_up(k_max, 4)
+        trows[k] = _round_up(sr_max, 8)
+        tslots[k] = _round_up(sk_max, 4)
+
+    def de(r, k):
+        return dense_edges(
+            r[k], num_nodes, rows[k], slots[k],
+            tsp_rows_pad=trows[k], tsp_slots=tslots[k],
+        )
+
     return [
         DenseStaticGraph(
-            g2m=dense_edges(r["grid2mesh_edges"], num_nodes, rows[keys[0]], slots[keys[0]]),
-            m2m=dense_edges(r["mesh2mesh_edges"], num_nodes, rows[keys[1]], slots[keys[1]]),
-            m2g=dense_edges(r["mesh2grid_edges"], num_nodes, rows[keys[2]], slots[keys[2]]),
+            g2m=de(r, keys[0]), m2m=de(r, keys[1]), m2g=de(r, keys[2])
         )
         for r in raw
     ]
@@ -107,7 +144,8 @@ class MultiScaleSampleBatcher(SampleBatcher):
         edge_pad_multiple: int = 1024,
         seed: int = 0,
         drop_remainder: bool = True,
-        dense: bool = False,
+        dense: bool | str = False,
+        m2m_traversals: int = 6,
     ):
         super().__init__(
             path,
@@ -120,6 +158,7 @@ class MultiScaleSampleBatcher(SampleBatcher):
         self.graphs = _build_graphs(
             self.trajectories, ms_cfg, edge_pad_multiple,
             dense=dense, num_nodes=self.num_nodes,
+            m2m_traversals=m2m_traversals,
         )
 
     def _gather(self, idxs: np.ndarray) -> Dict[str, np.ndarray]:
@@ -140,12 +179,14 @@ class MultiScaleTrajectoryLoader(TrajectoryLoader):
         ms_cfg: MultiScaleConfig,
         pad_multiple: int = 128,
         edge_pad_multiple: int = 1024,
-        dense: bool = False,
+        dense: bool | str = False,
+        m2m_traversals: int = 6,
     ):
         super().__init__(path, pad_multiple=pad_multiple)
         self.graphs = _build_graphs(
             self.trajectories, ms_cfg, edge_pad_multiple,
             dense=dense, num_nodes=self.num_nodes,
+            m2m_traversals=m2m_traversals,
         )
 
     def __iter__(self):

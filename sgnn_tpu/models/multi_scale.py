@@ -34,6 +34,7 @@ tests/test_multi_scale.py::test_ms_gnn_parity.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict
 
 import jax
@@ -179,6 +180,65 @@ def multi_scale_gnn_apply(
 # --------------------------------------------------------------------------
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _sorted_gather(table, idx, num_nodes):
+    """table[idx] whose VJP is a SORTED segment-sum (idx must be ascending).
+
+    AD's transpose of a gather is an unsorted scatter-add; for the dense
+    layout's receiver rows (ascending by construction) the sorted path
+    is markedly faster on TPU.
+    """
+    del num_nodes
+    return table[idx]
+
+
+def _sorted_gather_fwd(table, idx, num_nodes):
+    return table[idx], idx
+
+
+def _sorted_gather_bwd(num_nodes, idx, g):
+    from sgnn_tpu.ops.segment import segment_sum
+
+    return segment_sum(g, idx, num_nodes, indices_are_sorted=True), None
+
+
+_sorted_gather.defvjp(_sorted_gather_fwd, _sorted_gather_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _planned_gather(table, senders, tsp_rows, tsp_node, tsp_mask, num_nodes):
+    """table[senders] with a scatter-free VJP via the static transpose plan.
+
+    The plan (DenseEdges.tsp_*, host-built once per static graph) lists,
+    for every sender node, the flat positions of its outgoing edges.
+    d(table) = per-sender masked sum of the cotangent rows at those
+    positions, written back with ONE compact sorted segment-sum — no
+    node-sized unsorted scatter (the dense path's dominant backward cost,
+    ~1 ms/layer profiled on v5e).
+    """
+    del tsp_rows, tsp_node, tsp_mask, num_nodes
+    return table[senders]
+
+
+def _planned_gather_fwd(table, senders, tsp_rows, tsp_node, tsp_mask, num_nodes):
+    return table[senders], (senders, tsp_rows, tsp_node, tsp_mask)
+
+
+def _planned_gather_bwd(num_nodes, res, g):
+    from sgnn_tpu.ops.segment import segment_sum
+
+    senders, tsp_rows, tsp_node, tsp_mask = res
+    r, k = senders.shape
+    gf = g.reshape(r * k, -1)
+    rows = gf[tsp_rows]  # [Rs, Ks, H]
+    sums = jnp.sum(rows * tsp_mask[..., None].astype(gf.dtype), axis=1)
+    d_table = segment_sum(sums, tsp_node, num_nodes, indices_are_sorted=True)
+    return d_table, None, None, None, None
+
+
+_planned_gather.defvjp(_planned_gather_fwd, _planned_gather_bwd)
+
+
 def _interact_dense(
     block: Params, x: jnp.ndarray, e: jnp.ndarray, de, sorted_receivers: bool = False
 ) -> tuple:
@@ -200,11 +260,16 @@ def _interact_dense(
     maskf = de.mask[..., None].astype(x.dtype)
 
     (w_i, w_j, w_e), b_e = _split_first_layer(block["edge"]["mlp"], (d, d, d))
-    proj_i = jnp.dot(x, w_i, preferred_element_type=x.dtype)[de.recv]  # [R, H]
+    proj_i = _sorted_gather(
+        jnp.dot(x, w_i, preferred_element_type=x.dtype), de.recv, n
+    )  # [R, H]
     proj_j = jnp.dot(x, w_j, preferred_element_type=x.dtype)  # [N, H]
+    xj = _planned_gather(
+        proj_j, de.senders, de.tsp_rows, de.tsp_node, de.tsp_mask, n
+    )  # [R, K, H]
     h = (
         proj_i[:, None, :]
-        + proj_j[de.senders]
+        + xj
         + jnp.dot(e, w_e, preferred_element_type=x.dtype)
         + b_e
     )  # [R, K, H]
@@ -264,11 +329,18 @@ def flatten_dense_ms_graph(graph, n: int):
 
     def flat(de):
         b, r = de.recv.shape
+        k = de.senders.shape[-1]
+        rs = de.tsp_node.shape[1]
         off = (jnp.arange(b, dtype=de.recv.dtype) * n)[:, None]
+        # transpose-plan edge positions offset by each graph's edge block
+        eoff = (jnp.arange(b, dtype=de.tsp_rows.dtype) * (r * k))[:, None, None]
         return DenseEdges(
             recv=(de.recv + off).reshape(-1),
             senders=(de.senders + off[..., None]).reshape(b * r, -1),
             mask=de.mask.reshape(b * r, -1),
+            tsp_rows=(de.tsp_rows + eoff).reshape(b * rs, -1),
+            tsp_node=(de.tsp_node + off).reshape(-1),
+            tsp_mask=de.tsp_mask.reshape(b * rs, -1),
         )
 
     return DenseStaticGraph(g2m=flat(graph.g2m), m2m=flat(graph.m2m), m2g=flat(graph.m2g))

@@ -252,17 +252,38 @@ class DenseEdges(NamedTuple):
       senders: int32[R, K] global sender index per slot; padded slots
         hold the row's own receiver index (in-bounds, inert).
       mask: bool[R, K] slot validity (valid slots form a row prefix).
+      tsp_rows / tsp_node / tsp_mask: the static TRANSPOSE PLAN — the
+        same edges grouped by SENDER, holding flat edge positions
+        (row*K + slot) instead of node ids. The VJP of the sender gather
+        uses it to run as gather + slot-sum + one compact SORTED
+        segment-sum instead of an unsorted node-sized scatter (profiled
+        ~1 ms/layer on v5e). tsp_node is ascending; padded rows hold the
+        last node with tsp_rows 0 and mask False.
     """
 
     recv: np.ndarray
     senders: np.ndarray
     mask: np.ndarray
+    tsp_rows: np.ndarray  # int32[Rs, Ks]
+    tsp_node: np.ndarray  # int32[Rs]
+    tsp_mask: np.ndarray  # bool[Rs, Ks]
 
 
 def dense_edges(
-    edges: CooEdges, num_nodes: int, r_pad: int, k_slots: int
+    edges: CooEdges,
+    num_nodes: int,
+    r_pad: int,
+    k_slots: int,
+    *,
+    tsp_rows_pad: Optional[int] = None,
+    tsp_slots: Optional[int] = None,
 ) -> DenseEdges:
-    """Group COO edges by receiver into dense [R, K] slots."""
+    """Group COO edges by receiver into dense [R, K] slots (+ sender plan).
+
+    tsp_rows_pad / tsp_slots size the transpose plan (distinct senders /
+    max out-degree); defaults fit this edge set exactly (pass dataset-
+    wide maxima when batching graphs of different trajectories).
+    """
     recv_ids, counts = np.unique(edges.receivers, return_counts=True)
     r = len(recv_ids)
     if r > r_pad:
@@ -285,7 +306,33 @@ def dense_edges(
     row = np.repeat(np.arange(r), counts)
     senders[row, slot] = s_sorted
     mask[row, slot] = True
-    return DenseEdges(recv=recv, senders=senders, mask=mask)
+
+    # --- transpose plan: group flat edge positions by sender ---------------
+    flatpos = (row * k_slots + slot).astype(np.int32)
+    sorder = np.argsort(s_sorted, kind="stable")
+    snd_sorted = s_sorted[sorder]
+    pos_sorted = flatpos[sorder]
+    snd_ids, scounts = np.unique(snd_sorted, return_counts=True)
+    rs = len(snd_ids)
+    ks = tsp_slots or (int(scounts.max()) if rs else 1)
+    rs_pad = tsp_rows_pad or max(-(-rs // 8) * 8, 8)
+    if rs > rs_pad:
+        raise ValueError(f"sender count {rs} exceeds plan pad {rs_pad}")
+    if rs and int(scounts.max()) > ks:
+        raise ValueError(f"max out-degree {int(scounts.max())} exceeds plan slots {ks}")
+    tsp_node = np.full(rs_pad, last, np.int32)
+    tsp_node[:rs] = snd_ids
+    tsp_rows = np.zeros((rs_pad, ks), np.int32)
+    tsp_mask = np.zeros((rs_pad, ks), bool)
+    sstarts = np.concatenate([[0], np.cumsum(scounts)[:-1]])
+    sslot = np.arange(len(snd_sorted)) - np.repeat(sstarts, scounts)
+    srow = np.repeat(np.arange(rs), scounts)
+    tsp_rows[srow, sslot] = pos_sorted
+    tsp_mask[srow, sslot] = True
+    return DenseEdges(
+        recv=recv, senders=senders, mask=mask,
+        tsp_rows=tsp_rows, tsp_node=tsp_node, tsp_mask=tsp_mask,
+    )
 
 
 class DenseStaticGraph(NamedTuple):
@@ -306,13 +353,30 @@ def build_dense_static_graph(
     g2m_slots: Optional[int] = None,
     m2m_slots: Optional[int] = None,
     m2g_slots: Optional[int] = None,
+    tsp_rows: Optional[dict] = None,  # {'g2m','m2m','m2g'} -> sender-row pad
+    tsp_slots: Optional[dict] = None,  # {'g2m','m2m','m2g'} -> out-degree pad
 ) -> DenseStaticGraph:
-    """Host-side dense graph build (same edges as build_static_graph)."""
+    """Host-side dense graph build (same edges as build_static_graph).
+
+    tsp_rows/tsp_slots size the per-type transpose plans; pass common
+    values when graphs of multiple trajectories must stack.
+    """
     n = len(grid_positions)
     out = create_all_edges(cfg, grid_positions)
     k = cfg.max_neighbors
+    tr = tsp_rows or {}
+    ts = tsp_slots or {}
     return DenseStaticGraph(
-        g2m=dense_edges(out["grid2mesh_edges"], n, g2m_rows, g2m_slots or k),
-        m2m=dense_edges(out["mesh2mesh_edges"], n, m2m_rows, m2m_slots or k),
-        m2g=dense_edges(out["mesh2grid_edges"], n, m2g_rows, m2g_slots or k),
+        g2m=dense_edges(
+            out["grid2mesh_edges"], n, g2m_rows, g2m_slots or k,
+            tsp_rows_pad=tr.get("g2m"), tsp_slots=ts.get("g2m"),
+        ),
+        m2m=dense_edges(
+            out["mesh2mesh_edges"], n, m2m_rows, m2m_slots or k,
+            tsp_rows_pad=tr.get("m2m"), tsp_slots=ts.get("m2m"),
+        ),
+        m2g=dense_edges(
+            out["mesh2grid_edges"], n, m2g_rows, m2g_slots or k,
+            tsp_rows_pad=tr.get("m2g"), tsp_slots=ts.get("m2g"),
+        ),
     )

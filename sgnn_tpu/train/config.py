@@ -64,13 +64,14 @@ class TrainConfig:
     window_size: int = 2
     radius_multiplier: float = 2.0
     edge_pad_multiple: int = 1024
-    # Dense per-receiver slot graph layout for multi-scale. Measured SLOWER
-    # than the flat padded-COO path at reference scale (91.7 vs 42.6 ms
-    # fwd+bwd, TPU v5e): the hierarchy's skewed degree distributions (m2g
-    # max degree 24 vs mean ~2) make dense slot occupancy ~11x worse than
-    # COO's edge count, and that HBM tax exceeds the scatter savings.
-    # Kept as an option for degree-uniform graphs.
-    ms_dense: bool = False
+    # Multi-scale edge layout: True = dense per-receiver slots (scatter-
+    # free aggregation + static-transpose-plan backward, the fast path
+    # when degrees are near-uniform: 20.3 vs 34.7 ms/step at reference
+    # scale on v5e), False = flat padded COO (wins when degree skew
+    # inflates slot padding, e.g. m2g max 24 vs mean ~2 on some data),
+    # "auto" (default) = pick per dataset from actual degree stats
+    # (static_graph_loader._build_graphs cost model).
+    ms_dense: bool | str = "auto"
 
     # --- TPU-native additions ------------------------------------------------
     pad_multiple: int = 128  # node-count padding granularity

@@ -196,6 +196,7 @@ def train(cfg: TrainConfig) -> dict:
         edge_pad_multiple=cfg.edge_pad_multiple,
         seed=cfg.seed,
         dense=cfg.ms_dense,
+        m2m_traversals=cfg.layers,
     )
     valid_loader = MultiScaleTrajectoryLoader(
         data_dir / "valid.npz",
@@ -203,6 +204,7 @@ def train(cfg: TrainConfig) -> dict:
         pad_multiple=cfg.pad_multiple,
         edge_pad_multiple=cfg.edge_pad_multiple,
         dense=cfg.ms_dense,
+        m2m_traversals=cfg.layers,
     )
     train_step = make_train_step(sim_cfg, stats, cfg, tx)
     jit_rollout = make_jit_rollout(sim_cfg, stats, cfg.inference_mode)
@@ -305,6 +307,7 @@ def predict(cfg: TrainConfig) -> dict:
         pad_multiple=cfg.pad_multiple,
         edge_pad_multiple=cfg.edge_pad_multiple,
         dense=cfg.ms_dense,
+        m2m_traversals=cfg.layers,
     )
     jit_rollout = make_jit_rollout(sim_cfg, stats, cfg.inference_mode)
 

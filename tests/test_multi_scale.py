@@ -394,9 +394,13 @@ def test_ms_dense_apply_matches_coo(rng):
         build_static_graph(cfg.graph_config, g, g2m_pad=512, m2m_pad=256, m2g_pad=512)
         for g in grids
     ]
+    common = dict(
+        tsp_rows={"g2m": n, "m2m": 16, "m2g": 16},
+        tsp_slots={"g2m": 8, "m2m": 24, "m2g": 24},
+    )
     dense = [
         build_dense_static_graph(
-            cfg.graph_config, g, g2m_rows=16, m2m_rows=16, m2g_rows=n
+            cfg.graph_config, g, g2m_rows=16, m2m_rows=16, m2g_rows=n, **common
         )
         for g in grids
     ]
@@ -511,3 +515,37 @@ def test_native_radius_search_3d(rng):
             if np.linalg.norm(pos[j] - pos[i]) < 0.4:
                 exp.add((j, i))
     assert set(zip(s.tolist(), r.tolist())) == exp
+
+
+def test_ms_dense_grads_match_coo(rng):
+    """Grads through the dense path (sorted/planned gather VJPs) == COO."""
+    from sgnn_tpu.physics.multi_scale_graph import build_dense_static_graph
+    from sgnn_tpu.physics.multi_scale_simulator import ms_forward_batched
+
+    s = 4
+    cfg = MultiScaleSimulatorConfig(
+        dim=2, latent_dim=8, num_message_passing_steps=2, num_mlp_layers=2,
+        input_sequence_length=s, num_scales=2, window_size=2,
+    )
+    stats = NormStats(jnp.zeros(2), jnp.ones(2), jnp.zeros(2), jnp.ones(2))
+    params = multi_scale_simulator_init(jax.random.key(0), cfg)
+    g = square_grid(6)
+    n = len(g)
+    coo = build_static_graph(cfg.graph_config, g, g2m_pad=512, m2m_pad=256, m2g_pad=512)
+    dense = build_dense_static_graph(
+        cfg.graph_config, g, g2m_rows=16, m2m_rows=16, m2g_rows=n
+    )
+    seqs = jnp.asarray(
+        (g[None, :, None, :] + rng.normal(scale=0.01, size=(1, n, s, 2)).cumsum(2)).astype(np.float32)
+    )
+    types = jnp.zeros((1, n), jnp.int32)
+    batch = lambda gr: jax.tree.map(lambda a: jnp.asarray(a)[None], gr)
+
+    def loss(p, graph):
+        acc, strain = ms_forward_batched(p, cfg, stats, seqs, types, graph)
+        return jnp.sum(acc**2) + jnp.sum(strain**2)
+
+    g_coo = jax.grad(loss)(params, batch(coo))
+    g_dense = jax.grad(loss)(params, batch(dense))
+    for a, b in zip(jax.tree.leaves(g_coo), jax.tree.leaves(g_dense)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5)
