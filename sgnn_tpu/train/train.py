@@ -260,7 +260,11 @@ def make_jit_rollout(sim_cfg: SimulatorConfig, stats: NormStats, mode: str):
 
 
 def _stack_host_batches(gen, t: int):
-    """Group t host batches into one with a leading [t] axis (np.stack)."""
+    """Group t host batches into one with a leading [t] axis (np.stack).
+
+    Tree-aware: batch values may themselves be pytrees (e.g. the
+    multi-scale trainer's per-sample StaticGraph).
+    """
     while True:
         group = []
         for _ in range(t):
@@ -268,7 +272,7 @@ def _stack_host_batches(gen, t: int):
                 group.append(next(gen))
             except StopIteration:
                 return
-        yield {k: np.stack([g[k] for g in group]) for k in group[0]}
+        yield jax.tree.map(lambda *xs: np.stack(xs), *group)
 
 
 def train(cfg: TrainConfig) -> dict:

@@ -113,8 +113,7 @@ def make_train_step(sim_cfg: MultiScaleSimulatorConfig, stats: NormStats, cfg: T
         }
         return loss, aux
 
-    @jax.jit
-    def train_step(state, batch, key):
+    def step_body(state, batch, key):
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state["params"], batch, key
         )
@@ -125,7 +124,25 @@ def make_train_step(sim_cfg: MultiScaleSimulatorConfig, stats: NormStats, cfg: T
             {"train/loss": loss, **aux},
         )
 
-    return train_step
+    return jax.jit(step_body)
+
+
+def make_train_multi_step(sim_cfg, stats, cfg: TrainConfig, tx, num_steps: int):
+    """lax.scan inner loop over time-stacked batches; see
+    sgnn_tpu.train.train.make_train_multi_step (same contract — batches
+    carry a leading [num_steps] axis, including the per-sample graphs)."""
+    single = make_train_step(sim_cfg, stats, cfg, tx)
+
+    @jax.jit
+    def multi_step(state, batches, key):
+        def scan_body(carry, xs):
+            i, batch = xs
+            return single(carry, batch, jax.random.fold_in(key, i))
+
+        idx = jnp.arange(num_steps, dtype=jnp.uint32)
+        return jax.lax.scan(scan_body, state, (idx, batches))
+
+    return multi_step
 
 
 def make_jit_rollout(sim_cfg, stats, mode):
@@ -206,7 +223,17 @@ def train(cfg: TrainConfig) -> dict:
         dense=cfg.ms_dense,
         m2m_traversals=cfg.layers,
     )
-    train_step = make_train_step(sim_cfg, stats, cfg, tx)
+    inner = max(1, int(cfg.inner_steps))
+    if inner > 1:
+        for name in ("log_every", "nsave_steps", "ntraining_steps"):
+            if getattr(cfg, name) % inner:
+                raise ValueError(
+                    f"{name}={getattr(cfg, name)} must be a multiple of "
+                    f"inner_steps={inner}"
+                )
+        train_step = make_train_multi_step(sim_cfg, stats, cfg, tx, inner)
+    else:
+        train_step = make_train_step(sim_cfg, stats, cfg, tx)
     jit_rollout = make_jit_rollout(sim_cfg, stats, cfg.inference_mode)
     logger = MetricLogger(
         ckpt_dir, use_wandb=cfg.log, project=cfg.project_name, run_name=cfg.run_name
@@ -224,7 +251,12 @@ def train(cfg: TrainConfig) -> dict:
 
     step = int(state["step"])
     t_last = time.time()
-    prefetch = DevicePrefetcher(batcher.epochs(), depth=2)
+    source = batcher.epochs()
+    if inner > 1:
+        from sgnn_tpu.train.train import _stack_host_batches
+
+        source = _stack_host_batches(source, inner)
+    prefetch = DevicePrefetcher(source, depth=2)
     interrupted = False
     try:
         for device_batch in prefetch:
@@ -232,7 +264,9 @@ def train(cfg: TrainConfig) -> dict:
                 break
             key, step_key = jax.random.split(key)
             state, metrics = train_step(state, device_batch, step_key)
-            step += 1
+            step += inner
+            if inner > 1:
+                metrics = jax.tree.map(lambda x: x[-1], metrics)
 
             if step % cfg.log_every == 0:
                 metrics = {k: float(v) for k, v in metrics.items()}

@@ -77,3 +77,13 @@ def test_ms_train_and_rollout(ms_env):
 
     out = pickle.load(open(pkls[0], "rb"))
     assert "rmse_position_per_step" in out
+
+
+def test_ms_train_inner_steps_smoke(ms_env):
+    """Scanned inner loop for the multi-scale trainer (graphs stacked too)."""
+    root, data = ms_env
+    result = train(ms_config(
+        root, data, ntraining_steps=8, nsave_steps=8, log_every=4,
+        inner_steps=2, run_name="msinner",
+    ))
+    assert result["step"] == 8
