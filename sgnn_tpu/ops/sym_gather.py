@@ -18,6 +18,7 @@ next to the five per-layer scatters it eliminates).
 
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
 import jax
@@ -50,6 +51,93 @@ def reverse_edge_positions(
     rev_pos = (flat_s * k + kp).reshape(r, k)
     rev_pos = jnp.where(rev_ok, rev_pos, 0)
     return rev_pos, rev_ok
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def packed_sym_gather(aux, proj, senders, mask, out_dtype=None):
+    """ONE row gather serving three consumers of the same sender indices.
+
+    On TPU, XLA's row gather costs ~3 ns/row regardless of row width (up
+    to >=128 lanes), so three separate gathers at the same [M*K] indices
+    — sender positions for edge features, the senders-of-senders table
+    for the reverse-edge index, and the first layer's sender projections
+    — cost 3x what one packed gather does. This op concatenates them into
+    one f32 table [aux | bitcast(packed senders) | proj] and gathers once
+    (the int32 columns ride as bitcast f32 lanes; a gather is a bit copy).
+
+    Args:
+      aux: f32[M, A] per-node columns consumed WITHOUT gradient (positions
+        feeding edge features). Treated as a constant by the VJP — correct
+        for training/rollout, which never differentiate positions; use the
+        unfused path if you need position gradients.
+      proj: f32[M, H] differentiable sender projections.
+      senders: int32[M, K] neighbor lists (padded slots = own index).
+      mask: bool[M, K] edge validity.
+      out_dtype: dtype of the returned xj (default proj's). Casting after
+        the gather equals casting before it (a gather is a copy), so bf16
+        consumers see the exact values the unfused cast-then-gather path
+        produced; the VJP likewise mirrors the unfused path's
+        bf16-sum-then-f32-cast cotangent chain.
+
+    Returns:
+      g_aux: f32[M*K, A] gathered aux columns.
+      xj: [M*K, H] gathered projections, in out_dtype.
+      rev_pos: int32[M, K], rev_ok: bool[M, K] — the reverse-edge index
+        (identical to ``reverse_edge_positions(senders, mask)``), reused
+        by later layers' sym_gather calls.
+
+    VJP (valid for symmetric, uncapped graphs, same precondition as
+    sym_gather): d_proj[v] = sum_k d_xj[rev_pos[v, k]] masked.
+    """
+    out, _ = _packed_fwd_impl(aux, proj, senders, mask, out_dtype)
+    return out
+
+
+def _packed_fwd_impl(aux, proj, senders, mask, out_dtype):
+    m, k = senders.shape
+    a = aux.shape[1]
+    dt = out_dtype or proj.dtype
+    packed = jnp.where(mask, senders, -1)
+    table = jnp.concatenate(
+        [
+            aux,
+            jax.lax.bitcast_convert_type(packed, jnp.float32),
+            proj.astype(jnp.float32),
+        ],
+        axis=1,
+    )
+    flat_s = senders.reshape(-1)
+    g = table[flat_s]  # [M*K, A + K + H] — the one gather
+    g_aux = g[:, :a]
+    sos = jax.lax.bitcast_convert_type(g[:, a : a + k], jnp.int32)
+    xj = g[:, a + k :].astype(dt)
+    # reverse-edge index from the gathered senders-of-senders (same math
+    # as reverse_edge_positions, minus its separate gather)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (m, k), 0).reshape(-1, 1)
+    hit = sos == rows
+    kp = jnp.argmax(hit, axis=-1).astype(jnp.int32)
+    rev_ok = (jnp.any(hit, axis=-1) & mask.reshape(-1)).reshape(m, k)
+    rev_pos = jnp.where(rev_ok, (flat_s * k + kp).reshape(m, k), 0)
+    # zero-size sentinel carries proj's dtype through the residuals
+    return (g_aux, xj, rev_pos, rev_ok), (rev_pos, rev_ok, jnp.zeros((0,), proj.dtype))
+
+
+def _packed_sym_gather_fwd(aux, proj, senders, mask, out_dtype):
+    return _packed_fwd_impl(aux, proj, senders, mask, out_dtype)
+
+
+def _packed_sym_gather_bwd(out_dtype, res, cots):
+    del out_dtype
+    rev_pos, rev_ok, proj_sentinel = res
+    d_xj = cots[1]
+    # same reverse-gather transpose as sym_gather, then the dtype hop the
+    # unfused path's astype AD node would perform (bf16 sum -> f32 cast)
+    gathered = d_xj[rev_pos]  # [M, K, H]
+    d_proj = jnp.sum(gathered * rev_ok[..., None].astype(d_xj.dtype), axis=1)
+    return None, d_proj.astype(proj_sentinel.dtype), None, None
+
+
+packed_sym_gather.defvjp(_packed_sym_gather_fwd, _packed_sym_gather_bwd)
 
 
 @jax.custom_vjp

@@ -352,21 +352,37 @@ def forward_batched(
             node_mask=node_mask,
         )
         senders = nl.senders  # [B*N, K] global flat indices
-        degrees = jnp.sum(nl.mask, axis=-1, keepdims=True).astype(jnp.float32)
         nf = _node_features_batched(
             params, cfg, stats, position_sequences, particle_types
         ).reshape(b * n, -1)
         flat_last = last.reshape(b * n, -1)
+        if cfg.symmetric_gather:
+            # packed-gather fast path: edge features, reverse-edge index
+            # and layer 0's sender gather ride ONE row gather
+            from sgnn_tpu.models.epd_flat import (
+                encode_process_decode_apply_flat_fused,
+            )
+
+            pred = encode_process_decode_apply_flat_fused(
+                params["epd"],
+                nf,
+                flat_last,
+                senders,
+                nl.mask,
+                cfg.connectivity_radius,
+                use_pallas,
+                compute_dtype=(
+                    jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+                ),
+            ).reshape(b, n, -1)
+            return pred[..., : cfg.dim], pred[..., -1]
+        degrees = jnp.sum(nl.mask, axis=-1, keepdims=True).astype(jnp.float32)
         disp = (flat_last[senders] - flat_last[:, None, :]) / cfg.connectivity_radius
         dist = jnp.linalg.norm(disp, axis=-1, keepdims=True)
         ef = jnp.concatenate([disp, dist], axis=-1)
         ef = ef * nl.mask[..., None].astype(ef.dtype)
         senders_flat = senders.reshape(-1)
         ef_flat = ef.reshape(b * n * k, -1)
-        if cfg.symmetric_gather:
-            from sgnn_tpu.ops.sym_gather import reverse_edge_positions
-
-            rev = reverse_edge_positions(senders, nl.mask)
     else:
         nf, ef, nl = jax.vmap(
             lambda s, t, m: encoder_preprocess(params, cfg, stats, s, t, m)

@@ -407,6 +407,9 @@ def train(cfg: TrainConfig) -> dict:
                     state["params"], sim_cfg, stats, cfg, valid_loader, jit_rollout
                 )
                 val_stats = monitor.stop()
+                if not summary:
+                    print("  WARNING: validation split is empty — skipping")
+                    continue
                 logger.log(
                     {
                         "val/loss": summary["total"],

@@ -284,6 +284,9 @@ def train(cfg: TrainConfig) -> dict:
                 monitor.start()
                 _, summary = evaluate_split(state["params"], valid_loader, jit_rollout)
                 val_stats = monitor.stop()
+                if not summary:
+                    print("  WARNING: validation split is empty — skipping")
+                    continue
                 logger.log(
                     {
                         "val/loss": summary["total"],

@@ -180,3 +180,62 @@ def test_forward_batched_symmetric_gather_grads(rng):
     g_sym = jax.grad(lambda p: loss(p, cfg_sym))(params)
     for a, b_ in zip(jax.tree.leaves(g_sym), jax.tree.leaves(g_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=5e-5, atol=1e-6)
+
+
+def _sym_fixture(rng, n=64, k=16, latent=16, layers=2):
+    cfg = EPDConfig(node_in=7, edge_in=3, node_out=3, latent_dim=latent,
+                    num_message_passing_steps=layers, num_mlp_layers=1)
+    params = encode_process_decode_init(jax.random.key(2), cfg)
+    pos = rng.uniform(-1, 1, size=(n, 2)).astype(np.float32)
+    nl = radius_neighbors_bruteforce(jnp.asarray(pos), 0.45, max_neighbors=k)
+    assert int(np.asarray(nl.mask).sum(1).max()) < k  # symmetric: cap unbound
+    nf = jnp.asarray(rng.normal(size=(n, cfg.node_in)).astype(np.float32))
+    return cfg, params, jnp.asarray(pos), nl, nf
+
+
+def test_fused_packed_gather_path_exact(rng):
+    """apply_flat_fused == apply_flat + explicit features/rev, bit-exact.
+
+    The packed gather must be a pure re-plumbing: gathering positions,
+    the reverse index and layer-0 projections through one table cannot
+    change a single bit of the output or the parameter gradients.
+    """
+    from sgnn_tpu.models.epd_flat import encode_process_decode_apply_flat_fused
+    from sgnn_tpu.ops.sym_gather import reverse_edge_positions
+
+    cfg, params, pos, nl, nf = _sym_fixture(rng)
+    n, k = nl.senders.shape
+    radius = 0.45
+
+    def unfused(p, dt):
+        disp = (pos[nl.senders] - pos[:, None, :]) / radius
+        dist = jnp.linalg.norm(disp, axis=-1, keepdims=True)
+        ef = jnp.concatenate([disp, dist], axis=-1)
+        ef = ef * nl.mask[..., None].astype(ef.dtype)
+        degrees = jnp.sum(nl.mask, axis=-1, keepdims=True).astype(jnp.float32)
+        rev = reverse_edge_positions(nl.senders, nl.mask)
+        return encode_process_decode_apply_flat(
+            p, nf, ef.reshape(n * k, -1), nl.senders.reshape(-1), degrees, k,
+            use_pallas=False, rev=rev, compute_dtype=dt,
+        )
+
+    def fused(p, dt):
+        return encode_process_decode_apply_flat_fused(
+            p, nf, pos, nl.senders, nl.mask, radius,
+            use_pallas=False, compute_dtype=dt,
+        )
+
+    for dt in (None, jnp.bfloat16):
+        ref = unfused(params, dt)
+        got = fused(params, dt)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+        # grads: same ops, but x's cotangent summands accumulate in a
+        # different order (proj_j0's dot sits outside the loop in the
+        # fused trace), so allow last-ULP f32 reassociation differences
+        g_ref = jax.grad(lambda p: jnp.sum(unfused(p, dt) ** 2))(params)
+        g_got = jax.grad(lambda p: jnp.sum(fused(p, dt) ** 2))(params)
+        for a, b_ in zip(jax.tree.leaves(g_got), jax.tree.leaves(g_ref)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), rtol=1e-5, atol=1e-6
+            )
