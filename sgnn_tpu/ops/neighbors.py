@@ -523,30 +523,34 @@ def radius_neighbors_celltable(
         acc *= s
     strides = jnp.asarray(list(reversed(strides)), jnp.int32)
     batch_off = jnp.arange(b, dtype=jnp.int32)[:, None] * num_cells
+    # Table row layout: [0..total-1] real cells, [total..total+2] inf
+    # guard rows (gather sentinels — three consecutive so the row-TRIPLE
+    # path below has an all-inert window), [total+3] the masked/overflow
+    # cell (absorbs writes, never gathered).
+    masked_row = total + 3
     cid = (jnp.sum(coords * strides[None, None, :], axis=-1) + batch_off).reshape(-1)
-    cid = jnp.where(flat_mask, cid, total)  # masked -> overflow cell
+    cid = jnp.where(flat_mask, cid, masked_row)  # masked -> overflow cell
 
     # --- build the dense cell table --------------------------------------
     order = jnp.argsort(cid)
     sorted_cid = cid[order]
-    counts = jnp.zeros((total + 2,), jnp.int32).at[sorted_cid].add(1)
+    counts = jnp.zeros((masked_row + 1,), jnp.int32).at[sorted_cid].add(1)
     starts = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]])
     rank = jnp.arange(b * n, dtype=jnp.int32) - starts[sorted_cid]
-    # Capacity overflow drops occupants, into the masked-particle cell
-    # `total` — NOT the empty-sentinel row total+1, which invalid
-    # neighbor cells gather (real data there would surface as phantom
+    # Capacity overflow drops occupants into the masked row — NOT a
+    # gatherable sentinel (real data there would surface as phantom
     # candidates at domain borders).
     slot_ok = (rank < cell_capacity) & (sorted_cid < total)
     w_row = cell_capacity * (dim + 1)
     # Scatter occupant rows [x..., idx] as dim+1 flat ELEMENT writes
-    # straight into the final [total+2, w_row] table layout. Scattering
+    # straight into the final [rows, w_row] table layout. Scattering
     # [*, dim+1] ROWS instead was ~2.5 ms/step slower on v5e: XLA
     # materializes the (dim+1)-wide tensor in a T(4,128) sliver layout
     # (42x lane waste at dim=2) and then pays a relayout copy + reshape.
     base = jnp.where(
         slot_ok,
         sorted_cid * w_row + rank * (dim + 1),
-        jnp.int32(total * w_row),
+        jnp.int32(masked_row * w_row),
     )
     idx = base[:, None] + jnp.arange(dim + 1, dtype=jnp.int32)[None, :]
     # rows: [x..., idx] per occupant; empty slots hold +inf positions
@@ -554,28 +558,70 @@ def radius_neighbors_celltable(
         [flat_pos[order], order.astype(positions.dtype)[:, None]], axis=-1
     )
     table = (
-        jnp.full(((total + 2) * w_row,), jnp.inf, positions.dtype)
+        jnp.full(((masked_row + 1) * w_row,), jnp.inf, positions.dtype)
         .at[idx.reshape(-1)]
         .set(occ.reshape(-1))
-        .reshape(total + 2, w_row)
+        .reshape(masked_row + 1, w_row)
     )
 
-    # --- candidate cells: one row gather per (node, offset) ---------------
-    offsets = jnp.stack(
-        jnp.meshgrid(*([jnp.arange(-1, 2, dtype=jnp.int32)] * dim), indexing="ij"),
-        axis=-1,
-    ).reshape(-1, dim)
-    n_off = offsets.shape[0]
-    nbr_coords = coords.reshape(b * n, 1, dim) + offsets[None, :, :]
-    in_bounds = jnp.all(
-        (nbr_coords >= 0) & (nbr_coords < jnp.asarray(grid_shape, jnp.int32)), axis=-1
-    )
-    nbr_cid = jnp.sum(
-        jnp.clip(nbr_coords, 0, jnp.asarray(grid_shape, jnp.int32) - 1)
-        * strides[None, None, :],
-        axis=-1,
-    ) + jnp.repeat(batch_off.reshape(b), n)[:, None]
-    nbr_cid = jnp.where(in_bounds, nbr_cid, total + 1)  # empty sentinel row
+    # --- candidate cells ----------------------------------------------------
+    gshape = jnp.asarray(grid_shape, jnp.int32)
+    if grid_shape[-1] >= 3:
+        # ROW-TRIPLE gather: cells along the last grid dim have stride 1,
+        # so the window [c-1, c, c+1] is one row of a windowed table3
+        # (built by concatenating three shifted views — two dense copies,
+        # ~0.1 ms, vs ~0.9 ms of per-row gather overhead saved: 3^dim
+        # single-cell rows become 3^(dim-1) triple rows at ~3 ns/row).
+        # Last-dim under/overflow WRAPS to a neighboring flat id instead
+        # of hitting a sentinel; that is sound because (a) grid_shape[-1]
+        # >= 3 makes the three triple windows {t-1,t,t+1} disjoint (no
+        # duplicate candidates, preserving _select_k_smallest's unique-
+        # key precondition), and (b) every wrapped cell is >= one full
+        # cell width away along the last axis (or in another graph of
+        # the batch, near the opposite domain edge), so the exact d2 < r2
+        # test below rejects its occupants — the edge set is bit-
+        # identical to the 9-cell form (pinned vs bruteforce by tests).
+        pad_row = jnp.full((1, w_row), jnp.inf, positions.dtype)
+        padded = jnp.concatenate([pad_row, table, pad_row], axis=0)
+        table3 = jnp.concatenate(
+            [padded[:-2], padded[1:-1], padded[2:]], axis=1
+        )  # [rows, 3*w_row]: row c = cells (c-1, c, c+1)
+        if dim > 1:
+            off_outer = jnp.stack(
+                jnp.meshgrid(
+                    *([jnp.arange(-1, 2, dtype=jnp.int32)] * (dim - 1)),
+                    indexing="ij",
+                ),
+                axis=-1,
+            ).reshape(-1, dim - 1)
+        else:
+            off_outer = jnp.zeros((1, 0), jnp.int32)
+        outer_coords = coords.reshape(b * n, 1, dim)[:, :, :-1] + off_outer[None]
+        in_bounds = jnp.all(
+            (outer_coords >= 0) & (outer_coords < gshape[:-1]), axis=-1
+        )
+        t_cid = cid[:, None] + jnp.sum(
+            off_outer[None] * strides[None, None, :-1], axis=-1
+        )
+        # sentinel total+1: its triple covers guard rows total..total+2
+        t_cid = jnp.where(in_bounds & flat_mask[:, None], t_cid, total + 1)
+        n_off = off_outer.shape[0] * 3
+        cand_rows = table3[t_cid]  # [M, 3^(dim-1), 3*w_row]
+    else:
+        # narrow-grid fallback: one row gather per (node, offset)
+        offsets = jnp.stack(
+            jnp.meshgrid(*([jnp.arange(-1, 2, dtype=jnp.int32)] * dim), indexing="ij"),
+            axis=-1,
+        ).reshape(-1, dim)
+        n_off = offsets.shape[0]
+        nbr_coords = coords.reshape(b * n, 1, dim) + offsets[None, :, :]
+        in_bounds = jnp.all((nbr_coords >= 0) & (nbr_coords < gshape), axis=-1)
+        nbr_cid = jnp.sum(
+            jnp.clip(nbr_coords, 0, gshape - 1) * strides[None, None, :],
+            axis=-1,
+        ) + jnp.repeat(batch_off.reshape(b), n)[:, None]
+        nbr_cid = jnp.where(in_bounds, nbr_cid, total)  # inf guard row
+        cand_rows = table[nbr_cid]  # [M, 3^dim, w_row]
 
     # --- distance/validity on the INTERLEAVED [M, W] block -----------------
     # Slicing channels out of [M, C, dim+1] tensors is layout-poison on
@@ -590,7 +636,7 @@ def radius_neighbors_celltable(
 
     w = n_off * w_row
     c_cand = n_off * cell_capacity
-    cand = table[nbr_cid].reshape(b * n, w)
+    cand = cand_rows.reshape(b * n, w)
     # sanitize inf (empty slots) so 0-coefficient products can't nan the
     # matmuls; BIG keeps d2 of empties astronomically outside r.
     big = jnp.asarray(1e9, positions.dtype)
