@@ -29,7 +29,6 @@ update, the decoder and all parameters stay f32.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax
@@ -111,54 +110,6 @@ def _mlp_tail_in(mlp_params: Params, h: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
-def _slot_sum_f32(msg: jnp.ndarray, k: int) -> jnp.ndarray:
-    """Sum [M*K, D] messages over their K slots into f32 [M, D].
-
-    Same values as ``jnp.sum(msg.reshape(m,k,d).astype(f32), axis=1)``
-    up to f32 summation order. Two HBM-traffic tricks for bf16 messages
-    (both profiled on v5e at ~0.5 ms/layer combined):
-      * forward: the sum runs as a dot_general against ones with
-        preferred_element_type=f32 — f32 accumulation WITHOUT first
-        materializing (and re-laying-out) an f32 [M*K, D] convert of the
-        bf16 messages (products with 1.0 are exact);
-      * backward: AD's broadcast-in-f32 -> convert would materialize
-        another f32 [M*K, D]; the custom VJP converts the cotangent
-        FIRST and broadcasts in the input dtype — identical grads
-        (convert and broadcast commute).
-    """
-    m = msg.shape[0] // k
-    # The barrier stops XLA from "helpfully" tapping the producer fusion's
-    # internal f32 value for this reduce: without it the compiler emits an
-    # f32 [M*K, D] tuple output in column-major layout plus a relayout
-    # copy (~0.5 ms/layer measured); with it the reduce re-reads the bf16
-    # messages (which are materialized anyway for the edge residual) and
-    # fuses the f32 convert into the reduction.
-    msg = jax.lax.optimization_barrier(msg)
-    ones = jnp.ones((k,), msg.dtype)
-    return jax.lax.dot_general(
-        msg.reshape(m, k, -1),
-        ones,
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-
-
-def _slot_sum_fwd(msg, k):
-    # residual: a zero-size array carrying only the input dtype
-    return _slot_sum_f32(msg, k), jnp.zeros((0,), msg.dtype)
-
-
-def _slot_sum_bwd(k, res, g):
-    dt = res.dtype
-    mk = g.shape[0] * k
-    gb = jnp.broadcast_to(g.astype(dt)[:, None, :], (g.shape[0], k, g.shape[1]))
-    return (gb.reshape(mk, -1),)
-
-
-_slot_sum_f32.defvjp(_slot_sum_fwd, _slot_sum_bwd)
-
-
 def _edge_block_xla(
     params: Params,
     e: jnp.ndarray,  # [M*K, D] edge latents (padded slots zero)
@@ -174,6 +125,10 @@ def _edge_block_xla(
     Every edge-sized intermediate stays in e's dtype; only the LayerNorm
     moments run f32 (inside layer_norm_apply). Bit-identical to the
     previous f32-h formulation when e is f32.
+
+    Returns (new_e, msg); the caller folds the slot aggregation into the
+    node-update matmul (see _process_decode) instead of a separate
+    per-layer slot-sum reduce.
     """
     m = proj_i.shape[0]
     d = e.shape[-1]
@@ -186,8 +141,7 @@ def _edge_block_xla(
     msg = layer_norm_apply(params["ln"], msg)
     msg = msg * maskf.astype(dt)
     new_e = e + msg
-    agg = _slot_sum_f32(msg, k)
-    return new_e, agg
+    return new_e, msg
 
 
 def encode_process_decode_apply_flat(
@@ -296,19 +250,35 @@ def _process_decode(
             )
             e = new_e
             agg = agg.astype(jnp.float32)
+            agg_hn = None
         else:
             # (jax.checkpoint around this block was tried and measured
             # SLOWER — 38.3 -> 40.8 ms/step: the recomputed matmuls cost
             # more than the f32 LN-residual copies they avoid.)
-            e, agg = _edge_block_xla(
+            e, msg = _edge_block_xla(
                 step_params["edge"], e, xj, proj_i, maskf, w_e, b_e, k
             )
-            agg = agg.astype(jnp.float32)
+            agg = None
 
         # node update: node_fn(cat[agg, x]) + residual (graph_network.py:220)
         (w_agg, w_x), b_n = _split_first_layer(step_params["node"]["mlp"], (d, d))
+        if agg is None:
+            # slot-sum folded into the aggregation matmul:
+            #   slotsum(msg) @ w_agg == msg.reshape(m, k*d) @ tile(w_agg, k)
+            # One MXU dot with f32 accumulation replaces the per-layer
+            # reduce that XLA lowered as a bf16->f32 convert + relayout
+            # copy of the full edge tensor (~0.49 ms/layer on v5e). In
+            # bf16 mode the products are bf16*bf16 (weights rounded once,
+            # same as every edge-MLP dot); f32 mode is a pure
+            # reassociation of the same f32 sums.
+            w_big = jnp.tile(w_agg, (k, 1)).astype(msg.dtype)  # [k*d, d]
+            agg_hn = jnp.dot(
+                msg.reshape(m, k * d), w_big, preferred_element_type=jnp.float32
+            )
+        else:
+            agg_hn = jnp.dot(agg, w_agg, preferred_element_type=jnp.float32)
         hn = (
-            jnp.dot(agg, w_agg, preferred_element_type=jnp.float32)
+            agg_hn
             + jnp.dot(x, w_x, preferred_element_type=jnp.float32)
             + b_n
         )
