@@ -56,6 +56,8 @@ def make_setup():
     sim_cfg = MultiScaleSimulatorConfig(
         dim=2, latent_dim=HIDDEN, num_message_passing_steps=M2M_LAYERS,
         input_sequence_length=S, num_scales=2, window_size=2,
+        # bf16 edge tensors in the dense path (MS_F32=1 restores f32)
+        compute_dtype="float32" if os.environ.get("MS_F32") else "bfloat16",
     )
     stats = NormStats(vel_mean=jnp.zeros(2), vel_std=jnp.ones(2),
                       acc_mean=jnp.zeros(2), acc_std=jnp.ones(2))

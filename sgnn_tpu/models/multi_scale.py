@@ -240,7 +240,12 @@ _planned_gather.defvjp(_planned_gather_fwd, _planned_gather_bwd)
 
 
 def _interact_dense(
-    block: Params, x: jnp.ndarray, e: jnp.ndarray, de, sorted_receivers: bool = False
+    block: Params,
+    x: jnp.ndarray,
+    e: jnp.ndarray,
+    de,
+    sorted_receivers: bool = False,
+    compute_dtype=None,
 ) -> tuple:
     """One interaction step over DenseEdges (multi_scale_graph.DenseEdges).
 
@@ -252,38 +257,56 @@ def _interact_dense(
     nodes — reference semantics: node_fn([agg=0, x]) + residual also
     updates nodes this edge type never targets (multi_scale_gnn.py:296,
     307-321; non-mesh nodes ride through M2M via these updates).
+
+    compute_dtype (e.g. bf16) applies to the edge-sized tensors only —
+    the same mixed-precision contract as the single-scale flat path
+    (models/epd_flat.py): LN moments, node update and aggregation
+    accumulate f32.
     """
+    from sgnn_tpu.models.epd_flat import _mlp_tail_in
     from sgnn_tpu.ops.segment import segment_sum
 
     d = x.shape[-1]
     n = x.shape[0]
-    maskf = de.mask[..., None].astype(x.dtype)
+    dt = e.dtype if compute_dtype is None else compute_dtype
+    maskf = de.mask[..., None].astype(dt)
 
     (w_i, w_j, w_e), b_e = _split_first_layer(block["edge"]["mlp"], (d, d, d))
     proj_i = _sorted_gather(
         jnp.dot(x, w_i, preferred_element_type=x.dtype), de.recv, n
     )  # [R, H]
     proj_j = jnp.dot(x, w_j, preferred_element_type=x.dtype)  # [N, H]
+    if compute_dtype is not None:
+        proj_j = proj_j.astype(dt)
     xj = _planned_gather(
         proj_j, de.senders, de.tsp_rows, de.tsp_node, de.tsp_mask, n
     )  # [R, K, H]
     h = (
-        proj_i[:, None, :]
+        proj_i.astype(dt)[:, None, :]
         + xj
-        + jnp.dot(e, w_e, preferred_element_type=x.dtype)
-        + b_e
+        + jnp.dot(e, w_e.astype(dt), preferred_element_type=dt)
+        + b_e.astype(dt)
     )  # [R, K, H]
-    msg = _mlp_tail(block["edge"]["mlp"], h)
+    msg = _mlp_tail_in(block["edge"]["mlp"], h)
     msg = layer_norm_apply(block["edge"]["ln"], msg)
     msg = msg * maskf
 
-    agg_rows = jnp.sum(msg, axis=1)  # [R, D]; padded rows are zero
-    agg = segment_sum(
+    # Slot aggregation folded into the node-update matmul (same trick as
+    # epd_flat): segsum(sum_k(msg)) @ w_agg == segsum(msg.reshape(R, K*D)
+    # @ tile(w_agg, K)) — segment_sum is linear, so the matmul commutes
+    # through it. One MXU dot (f32 accumulation) replaces the per-layer
+    # [R, K, D] -> [R, D] slot reduce; the segment scatter is unchanged.
+    r, ks = de.senders.shape
+    (w_agg, w_x), b_n = _split_first_layer(block["node"]["mlp"], (d, d))
+    w_big = jnp.tile(w_agg, (ks, 1)).astype(msg.dtype)  # [K*D, D]
+    agg_rows = jnp.dot(
+        msg.reshape(r, ks * d), w_big, preferred_element_type=jnp.float32
+    )  # [R, D]
+    agg_hn = segment_sum(
         agg_rows, de.recv, n, indices_are_sorted=sorted_receivers
     )  # node-sized
-    (w_agg, w_x), b_n = _split_first_layer(block["node"]["mlp"], (d, d))
     hn = (
-        jnp.dot(agg, w_agg, preferred_element_type=x.dtype)
+        agg_hn.astype(x.dtype)
         + jnp.dot(x, w_x, preferred_element_type=x.dtype)
         + b_n
     )
@@ -299,8 +322,14 @@ def multi_scale_gnn_apply_dense(
     edge_features: Dict[str, jnp.ndarray],  # {'g2m','m2m','m2g'}: [R_t, K_t, edge_in]
     graph,  # DenseStaticGraph (single or flattened batch)
     sorted_receivers: bool = False,
+    compute_dtype=None,
 ) -> jnp.ndarray:
-    """Dense-slot forward; same parameters/semantics as multi_scale_gnn_apply."""
+    """Dense-slot forward; same parameters/semantics as multi_scale_gnn_apply.
+
+    compute_dtype (e.g. jnp.bfloat16) lowers the edge-sized tensors'
+    dtype; node encoder/updates, the prediction head and all
+    accumulations stay f32 (the single-scale mixed-precision contract).
+    """
     x = mlp_ln_apply(params["grid_node_encoder"], node_features)
     e = {
         "g2m": mlp_ln_apply(params["g2m_edge_encoder"], edge_features["g2m"]),
@@ -309,11 +338,19 @@ def multi_scale_gnn_apply_dense(
     }
     for key in e:
         e[key] = e[key] * getattr(graph, key).mask[..., None].astype(x.dtype)
+        if compute_dtype is not None:
+            e[key] = e[key].astype(compute_dtype)
 
-    x, e["g2m"] = _interact_dense(params["g2m_block"], x, e["g2m"], graph.g2m, sorted_receivers)
+    x, e["g2m"] = _interact_dense(
+        params["g2m_block"], x, e["g2m"], graph.g2m, sorted_receivers, compute_dtype
+    )
     for block in params["m2m_blocks"]:
-        x, e["m2m"] = _interact_dense(block, x, e["m2m"], graph.m2m, sorted_receivers)
-    x, e["m2g"] = _interact_dense(params["m2g_block"], x, e["m2g"], graph.m2g, sorted_receivers)
+        x, e["m2m"] = _interact_dense(
+            block, x, e["m2m"], graph.m2m, sorted_receivers, compute_dtype
+        )
+    x, e["m2g"] = _interact_dense(
+        params["m2g_block"], x, e["m2g"], graph.m2g, sorted_receivers, compute_dtype
+    )
 
     return mlp_apply(params["prediction_head"], x)
 

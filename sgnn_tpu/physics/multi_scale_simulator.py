@@ -65,6 +65,11 @@ class MultiScaleSimulatorConfig:
     radius_multiplier: float = 2.0
     grid_spacing: float = 0.5
     max_neighbors: int = 24
+    # 'float32' or 'bfloat16': dtype of the edge-sized tensors in the
+    # DENSE execution path (models/multi_scale.py), mirroring the
+    # single-scale contract: LayerNorm moments, node updates, the
+    # prediction head, loss and Adam stay f32. The COO path ignores it.
+    compute_dtype: str = "float32"
 
     @property
     def graph_config(self) -> MultiScaleConfig:
@@ -188,12 +193,15 @@ def _forward(params, cfg, stats, position_sequence, particle_types, graph):
     node_f, edge_f = ms_encoder_preprocess(
         params, cfg, stats, position_sequence, particle_types, graph
     )
-    apply_fn = (
-        multi_scale_gnn_apply_dense
-        if isinstance(graph, DenseStaticGraph)
-        else multi_scale_gnn_apply
-    )
-    pred = apply_fn(params["gnn"], node_f, edge_f, graph)
+    if isinstance(graph, DenseStaticGraph):
+        pred = multi_scale_gnn_apply_dense(
+            params["gnn"], node_f, edge_f, graph,
+            compute_dtype=(
+                jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+            ),
+        )
+    else:
+        pred = multi_scale_gnn_apply(params["gnn"], node_f, edge_f, graph)
     return pred[:, : cfg.dim], pred[:, -1]
 
 
@@ -263,10 +271,17 @@ def ms_forward_batched(
     ).reshape(b * n, -1)
     most_recent = position_sequences[..., -1, :].reshape(b * n, -1)
     ef = _ms_edge_features(cfg, most_recent, flat_graph)
-    apply_fn = multi_scale_gnn_apply_dense if dense else multi_scale_gnn_apply
-    pred = apply_fn(
-        params["gnn"], nf, ef, flat_graph, sorted_receivers=True
-    ).reshape(b, n, -1)
+    if dense:
+        pred = multi_scale_gnn_apply_dense(
+            params["gnn"], nf, ef, flat_graph, sorted_receivers=True,
+            compute_dtype=(
+                jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+            ),
+        ).reshape(b, n, -1)
+    else:
+        pred = multi_scale_gnn_apply(
+            params["gnn"], nf, ef, flat_graph, sorted_receivers=True
+        ).reshape(b, n, -1)
     return pred[..., : cfg.dim], pred[..., -1]
 
 

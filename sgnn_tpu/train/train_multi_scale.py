@@ -70,6 +70,7 @@ def ms_config_from(cfg: TrainConfig, metadata: dict) -> MultiScaleSimulatorConfi
         num_scales=cfg.num_scales,
         window_size=cfg.window_size,
         radius_multiplier=cfg.radius_multiplier,
+        compute_dtype=cfg.compute_dtype,
     )
 
 

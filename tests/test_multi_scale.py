@@ -549,3 +549,58 @@ def test_ms_dense_grads_match_coo(rng):
     g_dense = jax.grad(loss)(params, batch(dense))
     for a, b in zip(jax.tree.leaves(g_coo), jax.tree.leaves(g_dense)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5)
+
+
+def test_ms_dense_bf16_close_to_f32(rng):
+    """Dense path with compute_dtype=bf16: outputs close to f32, grads
+    flow (mixed-precision contract mirrors the single-scale flat path)."""
+    import dataclasses
+
+    from sgnn_tpu.physics.multi_scale_graph import build_dense_static_graph
+    from sgnn_tpu.physics.multi_scale_simulator import (
+        ms_forward_batched,
+        ms_predict_accelerations_batched,
+    )
+
+    s = 4
+    cfg = MultiScaleSimulatorConfig(
+        dim=2, latent_dim=16, num_message_passing_steps=2, num_mlp_layers=2,
+        input_sequence_length=s, num_scales=2, window_size=2,
+    )
+    stats = NormStats(jnp.zeros(2), jnp.ones(2), jnp.zeros(2), jnp.ones(2))
+    params = multi_scale_simulator_init(jax.random.key(0), cfg)
+    grid = square_grid(6)
+    n = len(grid)
+    dense = build_dense_static_graph(
+        cfg.graph_config, grid, g2m_rows=16, m2m_rows=16, m2g_rows=n,
+        tsp_rows={"g2m": n, "m2m": 16, "m2g": 16},
+        tsp_slots={"g2m": 8, "m2m": 24, "m2g": 24},
+    )
+    dense_b = jax.tree.map(lambda a: jnp.asarray(a)[None], dense)
+    seqs = jnp.asarray(
+        (grid[:, None, :] + rng.normal(scale=0.01, size=(n, s, 2)).cumsum(1))
+        .astype(np.float32)[None]
+    )
+    types = jnp.zeros((1, n), jnp.int32)
+
+    ref = ms_forward_batched(params, cfg, stats, seqs, types, dense_b)
+    cfg16 = dataclasses.replace(cfg, compute_dtype="bfloat16")
+    got = ms_forward_batched(params, cfg16, stats, seqs, types, dense_b)
+    for a, b in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0.1, atol=0.05)
+
+    def loss(p, c):
+        acc, tgt, strain = ms_predict_accelerations_batched(
+            p, c, stats, seqs[:, :, -1] + 0.01, jnp.zeros_like(seqs), seqs,
+            types, dense_b,
+        )
+        return jnp.mean((acc - tgt) ** 2) + jnp.mean(strain**2)
+
+    g16 = jax.grad(lambda p: loss(p, cfg16))(params)
+    g32 = jax.grad(lambda p: loss(p, cfg))(params)
+    for a, b in zip(jax.tree.leaves(g16), jax.tree.leaves(g32)):
+        assert np.all(np.isfinite(np.asarray(a)))
+        # same sign structure / magnitude band as f32
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=0.35, atol=0.05
+        )
