@@ -557,6 +557,8 @@ def radius_neighbors_celltable(
     occ = jnp.concatenate(
         [flat_pos[order], order.astype(positions.dtype)[:, None]], axis=-1
     )
+    # (indices_are_sorted would be a lie here: capacity-overflow writes
+    # jump to the masked row mid-sequence, breaking monotonicity.)
     table = (
         jnp.full(((masked_row + 1) * w_row,), jnp.inf, positions.dtype)
         .at[idx.reshape(-1)]

@@ -157,14 +157,30 @@ def _sharded_forward(
     mask_ext = _halo_exchange(node_mask.astype(jnp.int32), halo, axis) > 0
 
     # --- local radius graph: receivers = local rows of the ext array ------
-    nl_ext = radius_neighbors_bruteforce(
-        pos_ext,
-        cfg.connectivity_radius,
-        max_neighbors=cfg.max_neighbors,
-        include_self=True,
-        node_mask=mask_ext,
-        strict=True,
-    )
+    if cfg.domain is not None:
+        # production path: per-shard cell-table search over the global
+        # domain grid (the table is cells-sized, ~10 MB; occupancy work
+        # scales with N_ext). The O(N_ext^2) bruteforce below is kept
+        # for domain-less configs and as the test oracle.
+        from sgnn_tpu.ops.neighbors import radius_neighbors_celltable
+
+        nl_ext = radius_neighbors_celltable(
+            pos_ext[None],
+            cfg.connectivity_radius,
+            domain_min=tuple(cfg.domain[0]),
+            domain_max=tuple(cfg.domain[1]),
+            max_neighbors=cfg.slots,
+            node_mask=mask_ext[None],
+        )
+    else:
+        nl_ext = radius_neighbors_bruteforce(
+            pos_ext,
+            cfg.connectivity_radius,
+            max_neighbors=cfg.slots,
+            include_self=True,
+            node_mask=mask_ext,
+            strict=True,
+        )
     senders = nl_ext.senders[halo : halo + n_local]  # [N_local, K] (ext idx)
     e_mask = nl_ext.mask[halo : halo + n_local]
 

@@ -150,3 +150,33 @@ def test_multihost_global_batch_single_process():
     assert multihost.host_batch_slice(16) == 16
     # no coordinator configured -> initialize is a no-op
     multihost.initialize()
+
+
+def test_partitioned_forward_celltable_domain(mesh):
+    """The per-shard cell-table search (cfg.domain set) matches the
+    single-device forward, same as the bruteforce branch."""
+    import dataclasses
+
+    cfg, stats, params, seq, n = setup()
+    cfg = dataclasses.replace(cfg, domain=((-2.0, -2.0), (34.0, 6.0)))
+    spec, order = partition_plan(seq[:, -1], 8, cfg.connectivity_radius)
+
+    seq_sorted = scatter_to_shards(seq, order, spec)
+    types = np.zeros(spec.total_nodes, np.int32)
+    mask = np.zeros(spec.total_nodes, bool)
+    mask[:n] = True
+
+    ref_next, ref_strain = predict_positions(
+        params, cfg, stats, jnp.asarray(seq_sorted), jnp.asarray(types),
+        jnp.asarray(mask),
+    )
+    fwd = make_partitioned_predict_positions(mesh, cfg, stats, spec)
+    next_pos, strain = fwd(
+        params, jnp.asarray(seq_sorted), jnp.asarray(types), jnp.asarray(mask)
+    )
+    np.testing.assert_allclose(
+        np.asarray(next_pos)[mask], np.asarray(ref_next)[mask], rtol=2e-4, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(strain)[mask], np.asarray(ref_strain)[mask], rtol=2e-4, atol=2e-5
+    )
