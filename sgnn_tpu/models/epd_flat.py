@@ -264,16 +264,25 @@ def _process_decode(
         (w_agg, w_x), b_n = _split_first_layer(step_params["node"]["mlp"], (d, d))
         if agg is None:
             # slot-sum folded into the aggregation matmul:
-            #   slotsum(msg) @ w_agg == msg.reshape(m, k*d) @ tile(w_agg, k)
-            # One MXU dot with f32 accumulation replaces the per-layer
-            # reduce that XLA lowered as a bf16->f32 convert + relayout
-            # copy of the full edge tensor (~0.49 ms/layer on v5e). In
+            #   slotsum(msg) @ w_agg == dot(msg[m,k,d], w_agg[k,d,d'])
+            # contracting BOTH (k, d). One MXU dot with f32 accumulation
+            # replaces the per-layer reduce that XLA lowered as a
+            # bf16->f32 convert + relayout copy of the full edge tensor
+            # (~0.49 ms/layer on v5e). The 3D form (not reshape to
+            # [m, k*d] @ tile(w_agg, k)): the [E, d] -> [m, k, d] reshape
+            # is tiling-compatible (a bitcast), while the 512-wide 2D
+            # reshape materialized a repack copy (~0.26 ms/layer). In
             # bf16 mode the products are bf16*bf16 (weights rounded once,
             # same as every edge-MLP dot); f32 mode is a pure
             # reassociation of the same f32 sums.
-            w_big = jnp.tile(w_agg, (k, 1)).astype(msg.dtype)  # [k*d, d]
-            agg_hn = jnp.dot(
-                msg.reshape(m, k * d), w_big, preferred_element_type=jnp.float32
+            w_3d = jnp.broadcast_to(
+                w_agg.astype(msg.dtype)[None], (k,) + w_agg.shape
+            )
+            agg_hn = jax.lax.dot_general(
+                msg.reshape(m, k, d),
+                w_3d,
+                (((1, 2), (0, 1)), ((), ())),
+                preferred_element_type=jnp.float32,
             )
         else:
             agg_hn = jnp.dot(agg, w_agg, preferred_element_type=jnp.float32)
