@@ -29,6 +29,7 @@ update, the decoder and all parameters stay f32.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -110,6 +111,47 @@ def _mlp_tail_in(mlp_params: Params, h: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _recv_broadcast_add(h, proj_ib, k):
+    """h[m*K+k] += proj_ib[m], with the transpose-reduce as an MXU dot.
+
+    AD's transpose of the receiver broadcast is a [m, k, d] -> [m, d]
+    slot reduce, which XLA lowers with a bf16->f32 convert
+    materialization (~0.16 ms/layer on v5e). The custom VJP runs it as a
+    two-dim-contraction dot against a broadcast identity — f32
+    accumulation on the MXU, no extra materialization. (f32 accumulation
+    vs AD's bf16 slot sum: same values up to bf16 rounding of an
+    8-term sum; the f32 path is bit-identical since eye-products are
+    exact.)
+    """
+    m, d = proj_ib.shape
+    return (
+        h.reshape(m, k, d) + proj_ib.astype(h.dtype)[:, None, :]
+    ).reshape(h.shape)
+
+
+def _recv_broadcast_add_fwd(h, proj_ib, k):
+    return _recv_broadcast_add(h, proj_ib, k), (
+        jnp.zeros((0,), proj_ib.dtype),
+        proj_ib.shape,
+    )
+
+
+def _recv_broadcast_add_bwd(k, res, g):
+    sentinel, (m, d) = res
+    eye3 = jnp.broadcast_to(jnp.eye(d, dtype=g.dtype)[None], (k, d, d))
+    d_proj = jax.lax.dot_general(
+        g.reshape(m, k, d),
+        eye3,
+        (((1, 2), (0, 1)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return g, d_proj.astype(sentinel.dtype)
+
+
+_recv_broadcast_add.defvjp(_recv_broadcast_add_fwd, _recv_broadcast_add_bwd)
+
+
 def _edge_block_xla(
     params: Params,
     e: jnp.ndarray,  # [M*K, D] edge latents (padded slots zero)
@@ -133,10 +175,8 @@ def _edge_block_xla(
     m = proj_i.shape[0]
     d = e.shape[-1]
     dt = e.dtype
-    h = jnp.dot(e, w_e.astype(dt), preferred_element_type=dt)
-    h = (h + xj.astype(dt)).reshape(m, k, -1)
-    h = h + proj_i.astype(dt)[:, None, :] + b_e.astype(dt)
-    h = h.reshape(m * k, -1)
+    h = jnp.dot(e, w_e.astype(dt), preferred_element_type=dt) + xj.astype(dt)
+    h = _recv_broadcast_add(h, proj_i + b_e, k)
     msg = _mlp_tail_in(params["mlp"], h)
     msg = layer_norm_apply(params["ln"], msg)
     msg = msg * maskf.astype(dt)
