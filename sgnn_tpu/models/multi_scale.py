@@ -228,10 +228,15 @@ def _planned_gather_bwd(num_nodes, res, g):
     from sgnn_tpu.ops.segment import segment_sum
 
     senders, tsp_rows, tsp_node, tsp_mask = res
+    from sgnn_tpu.ops.sym_gather import _slot_reduce_dot
+
     r, k = senders.shape
     gf = g.reshape(r * k, -1)
     rows = gf[tsp_rows]  # [Rs, Ks, H]
-    sums = jnp.sum(rows * tsp_mask[..., None].astype(gf.dtype), axis=1)
+    masked = rows * tsp_mask[..., None].astype(gf.dtype)
+    # masked slot sum as an identity dot: f32 MXU accumulation, no
+    # convert materialization (ops/sym_gather._slot_reduce_dot)
+    sums = _slot_reduce_dot(masked, gf.dtype)
     d_table = segment_sum(sums, tsp_node, num_nodes, indices_are_sorted=True)
     return d_table, None, None, None, None
 

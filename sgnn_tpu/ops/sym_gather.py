@@ -126,14 +126,34 @@ def _packed_sym_gather_fwd(aux, proj, senders, mask, out_dtype):
     return _packed_fwd_impl(aux, proj, senders, mask, out_dtype)
 
 
+def _slot_reduce_dot(x3d: jnp.ndarray, out_dtype) -> jnp.ndarray:
+    """[R, K, H] -> [R, H] slot sum as a two-dim-contraction identity dot.
+
+    XLA lowers the straight jnp.sum of a bf16 operand with a convert
+    materialization (+ possible relayout); the dot accumulates f32 on
+    the MXU reading the operand in place (identity products are exact;
+    only the summation ORDER differs from a sequential reduce).
+    """
+    r, k, h = x3d.shape
+    eye3 = jnp.broadcast_to(jnp.eye(h, dtype=x3d.dtype)[None], (k, h, h))
+    out = jax.lax.dot_general(
+        x3d, eye3, (((1, 2), (0, 1)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(out_dtype)
+
+
 def _packed_sym_gather_bwd(out_dtype, res, cots):
     del out_dtype
     rev_pos, rev_ok, proj_sentinel = res
     d_xj = cots[1]
-    # same reverse-gather transpose as sym_gather, then the dtype hop the
-    # unfused path's astype AD node would perform (bf16 sum -> f32 cast)
+    # same reverse-gather transpose as sym_gather, with the masked slot
+    # sum as an identity dot (f32 MXU accumulation, no convert pass).
+    # The d_xj.dtype hop mirrors the unfused astype-then-sym_gather
+    # chain bit-for-bit (pinned by test_fused_packed_gather_path_exact).
     gathered = d_xj[rev_pos]  # [M, K, H]
-    d_proj = jnp.sum(gathered * rev_ok[..., None].astype(d_xj.dtype), axis=1)
+    masked = gathered * rev_ok[..., None].astype(d_xj.dtype)
+    d_proj = _slot_reduce_dot(masked, d_xj.dtype)
     return None, d_proj.astype(proj_sentinel.dtype), None, None
 
 
@@ -152,10 +172,11 @@ def _sym_gather_fwd(table, idx, rev_pos, rev_mask):
 
 def _sym_gather_bwd(res, cot):
     idx, rev_pos, rev_mask = res
-    # cot: [E, H]; d_table[v] = sum over v's reverse-edge positions
+    # cot: [E, H]; d_table[v] = sum over v's reverse-edge positions,
+    # computed as an identity dot (see _slot_reduce_dot)
     gathered = cot[rev_pos]  # [R, K, H]
-    d_table = jnp.sum(gathered * rev_mask[..., None].astype(cot.dtype), axis=1)
-    return d_table, None, None, None
+    masked = gathered * rev_mask[..., None].astype(cot.dtype)
+    return _slot_reduce_dot(masked, cot.dtype), None, None, None
 
 
 sym_gather.defvjp(_sym_gather_fwd, _sym_gather_bwd)
