@@ -126,6 +126,45 @@ def _packed_sym_gather_fwd(aux, proj, senders, mask, out_dtype):
     return _packed_fwd_impl(aux, proj, senders, mask, out_dtype)
 
 
+# XLA's TPU row-gather cost grows with the TABLE's row count (~1.5 ns/row
+# at 38k rows -> 8 ns/row at 614k; independent of row bytes and of index
+# locality — BASELINE.md capacity sweep). Above this edge count, gather
+# from a row-packed view of the table: P rows fused into one wide row
+# cuts table rows Px for one extra select pass over the gathered block.
+_PACK_GATHER_MIN_ROWS = 500_000
+_PACK = 4
+
+
+def gather_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """table[idx] for 2D tables, routing huge tables via row-packing.
+
+    Returns table[idx] exactly; for tables with >= ~500k rows the gather
+    runs against a [rows/P, P*H] reshape (P=4) whose per-row cost is far
+    lower, followed by a sub-row select. Requires rows % P == 0 to pack
+    (falls back to the plain gather otherwise).
+    """
+    rows, h = table.shape
+    flat = idx.reshape(-1)
+    # Measured window (BASELINE.md capacity sweep): P=4 wins at 614k
+    # rows (+24% on the N=76k step) but LOSES at 3M rows (both P=4 and
+    # P=8 — the packed table is still in the slow-gather regime there
+    # and the select/repack overhead is pure cost), so packing engages
+    # only while it can bring the table under ~160k rows.
+    pack = _PACK if _PACK_GATHER_MIN_ROWS <= rows <= 1_200_000 else 1
+    if pack == 1 or rows % pack:
+        out = table[flat]
+    else:
+        packed = table.reshape(rows // pack, pack * h)
+        g = packed[flat // pack]  # [E, P*H]
+        sub = (flat % pack)[:, None]
+        out = jnp.zeros((flat.shape[0], h), table.dtype)
+        for p in range(pack):
+            out = out + jnp.where(
+                sub == p, g[:, p * h : (p + 1) * h], jnp.zeros((), table.dtype)
+            )
+    return out.reshape(idx.shape + (h,))
+
+
 def _slot_reduce_dot(x3d: jnp.ndarray, out_dtype) -> jnp.ndarray:
     """[R, K, H] -> [R, H] slot sum as a two-dim-contraction identity dot.
 
@@ -151,7 +190,7 @@ def _packed_sym_gather_bwd(out_dtype, res, cots):
     # sum as an identity dot (f32 MXU accumulation, no convert pass).
     # The d_xj.dtype hop mirrors the unfused astype-then-sym_gather
     # chain bit-for-bit (pinned by test_fused_packed_gather_path_exact).
-    gathered = d_xj[rev_pos]  # [M, K, H]
+    gathered = gather_rows(d_xj, rev_pos)  # [M, K, H]
     masked = gathered * rev_ok[..., None].astype(d_xj.dtype)
     d_proj = _slot_reduce_dot(masked, d_xj.dtype)
     return None, d_proj.astype(proj_sentinel.dtype), None, None
@@ -174,7 +213,7 @@ def _sym_gather_bwd(res, cot):
     idx, rev_pos, rev_mask = res
     # cot: [E, H]; d_table[v] = sum over v's reverse-edge positions,
     # computed as an identity dot (see _slot_reduce_dot)
-    gathered = cot[rev_pos]  # [R, K, H]
+    gathered = gather_rows(cot, rev_pos)  # [R, K, H]
     masked = gathered * rev_mask[..., None].astype(cot.dtype)
     return _slot_reduce_dot(masked, cot.dtype), None, None, None
 

@@ -239,3 +239,15 @@ def test_fused_packed_gather_path_exact(rng):
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b_), rtol=1e-5, atol=1e-6
             )
+
+
+def test_gather_rows_packed_equals_plain(rng):
+    """The row-packed huge-table gather returns exactly table[idx]."""
+    from sgnn_tpu.ops import sym_gather as sg
+
+    rows, h = 512 * 1024, 8
+    tbl = jnp.asarray(rng.normal(size=(rows, h)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, rows, (1000, 3)), jnp.int32)
+    assert rows >= sg._PACK_GATHER_MIN_ROWS  # packed path engaged
+    out = sg.gather_rows(tbl, idx)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(tbl)[np.asarray(idx)])
