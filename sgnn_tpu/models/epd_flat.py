@@ -8,12 +8,18 @@ indices (block-diagonal — no cross-graph edges by construction), so
 
   * every sender gather is a flat [M, H] table gather (XLA lowers
     vmapped/batched gathers poorly; flat gathers hit the fast path),
-  * edge tensors are 2D [M*K, D] receiver-major arrays that feed the
-    fused Pallas edge-block kernel (ops/pallas/edge_block.py) — one
-    VMEM pass per interaction layer instead of ~10 HBM passes,
-  * the per-edge validity mask is never materialized in HBM: neighbor
-    rows are prefix-compacted, so ``slot < degree`` recovers it from a
-    tiny [M, 1] degree vector in-kernel.
+    and same-index gathers merge into ONE packed wide-table gather
+    (gather cost is per-row, width-free — ops/sym_gather.py),
+  * slot aggregations and broadcast transposes run as MXU dots
+    (the agg fold in _process_decode, _recv_broadcast_add,
+    ops/sym_gather._slot_reduce_dot) instead of convert-materializing
+    reduces,
+  * edge tensors are 2D [M*K, D] receiver-major arrays; at wide slot
+    counts (k >= 20) they feed the fused Pallas edge-block kernel
+    (ops/pallas/edge_block.py), while at the production slot widths the
+    XLA pipeline above measures faster,
+  * the per-edge validity mask derives from prefix-compacted neighbor
+    rows (``slot < degree``).
 
 Semantics are pinned equal to the vmapped reference path by
 tests/test_epd_flat.py (change both or neither — CLAUDE.md). The model
