@@ -39,6 +39,7 @@ def _build_graphs(
     dense: bool | str = False,
     num_nodes: int = 0,
     m2m_traversals: int = 6,
+    dense_row_advantage: float = 2.0,
 ) -> List[StaticGraph] | List[DenseStaticGraph]:
     """One static graph per trajectory from frame-0 positions, common padding.
 
@@ -46,12 +47,14 @@ def _build_graphs(
     receiver rows and slot widths pad to the dataset-wide max per edge
     type so every trajectory shares one static shape. dense="auto" picks
     the layout from the dataset's actual degree distributions: dense
-    wins unless slot padding inflates traversal-weighted edge rows >2x
-    over the COO edge count (the measured crossover — dense removes the
-    per-edge scatters and, with the static transpose plan, the backward
-    ones too, worth about that factor on v5e; BASELINE.md r1). m2m edges
-    are traversed `m2m_traversals` times per forward (the M2M stack
-    depth), g2m/m2g once.
+    wins unless slot padding inflates traversal-weighted edge rows more
+    than ``dense_row_advantage``x over the COO edge count (the measured
+    crossover — dense removes the per-edge scatters and, with the static
+    transpose plan, the backward ones too, worth about 2x on v5e in f32;
+    pass ~4.0 when compute_dtype=bfloat16, which halves the dense path's
+    edge traffic while COO stays f32; BASELINE.md r1). m2m edges are
+    traversed `m2m_traversals` times per forward (the M2M stack depth),
+    g2m/m2g once.
     """
     raw = []
     for pos, _, _ in trajectories:
@@ -73,7 +76,7 @@ def _build_graphs(
                 e_max = max(e_max, len(r[k].senders))
             dense_rows += w[k] * _round_up(r_max, 8) * _round_up(k_max, 4)
             coo_rows += w[k] * _round_up(e_max, edge_pad_multiple)
-        dense = dense_rows <= 2 * coo_rows
+        dense = dense_rows <= dense_row_advantage * coo_rows
         print(
             f"ms layout auto: {'dense' if dense else 'coo'} "
             f"(dense rows {dense_rows} vs coo rows {coo_rows})"
@@ -146,6 +149,7 @@ class MultiScaleSampleBatcher(SampleBatcher):
         drop_remainder: bool = True,
         dense: bool | str = False,
         m2m_traversals: int = 6,
+        dense_row_advantage: float = 2.0,
     ):
         super().__init__(
             path,
@@ -159,6 +163,7 @@ class MultiScaleSampleBatcher(SampleBatcher):
             self.trajectories, ms_cfg, edge_pad_multiple,
             dense=dense, num_nodes=self.num_nodes,
             m2m_traversals=m2m_traversals,
+            dense_row_advantage=dense_row_advantage,
         )
 
     def _gather(self, idxs: np.ndarray) -> Dict[str, np.ndarray]:
@@ -181,12 +186,14 @@ class MultiScaleTrajectoryLoader(TrajectoryLoader):
         edge_pad_multiple: int = 1024,
         dense: bool | str = False,
         m2m_traversals: int = 6,
+        dense_row_advantage: float = 2.0,
     ):
         super().__init__(path, pad_multiple=pad_multiple)
         self.graphs = _build_graphs(
             self.trajectories, ms_cfg, edge_pad_multiple,
             dense=dense, num_nodes=self.num_nodes,
             m2m_traversals=m2m_traversals,
+            dense_row_advantage=dense_row_advantage,
         )
 
     def __iter__(self):

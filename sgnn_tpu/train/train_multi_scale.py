@@ -214,6 +214,9 @@ def train(cfg: TrainConfig) -> dict:
         edge_pad_multiple=cfg.edge_pad_multiple,
         seed=cfg.seed,
         dense=cfg.ms_dense,
+        dense_row_advantage=(
+            4.0 if cfg.compute_dtype == "bfloat16" else 2.0
+        ),
         m2m_traversals=cfg.layers,
     )
     valid_loader = MultiScaleTrajectoryLoader(
@@ -222,6 +225,9 @@ def train(cfg: TrainConfig) -> dict:
         pad_multiple=cfg.pad_multiple,
         edge_pad_multiple=cfg.edge_pad_multiple,
         dense=cfg.ms_dense,
+        dense_row_advantage=(
+            4.0 if cfg.compute_dtype == "bfloat16" else 2.0
+        ),
         m2m_traversals=cfg.layers,
     )
     inner = max(1, int(cfg.inner_steps))
@@ -345,6 +351,9 @@ def predict(cfg: TrainConfig) -> dict:
         pad_multiple=cfg.pad_multiple,
         edge_pad_multiple=cfg.edge_pad_multiple,
         dense=cfg.ms_dense,
+        dense_row_advantage=(
+            4.0 if cfg.compute_dtype == "bfloat16" else 2.0
+        ),
         m2m_traversals=cfg.layers,
     )
     jit_rollout = make_jit_rollout(sim_cfg, stats, cfg.inference_mode)
