@@ -316,11 +316,13 @@ def radius_neighbors(
     strict: bool = True,
     domain: Optional[Tuple[Tuple[float, ...], Tuple[float, ...]]] = None,
     method: str = "auto",
+    cell_capacity: int = 8,
 ) -> NeighborList:
     """Dispatching front door for radius search.
 
     method: 'auto' | 'bruteforce' | 'grid'. 'auto' picks grid when a domain
-    is provided and N is large enough to pay for binning.
+    is provided and N is large enough to pay for binning. ``cell_capacity``
+    applies to the grid path only (see radius_neighbors_grid).
     """
     n = positions.shape[0]
     if method == "auto":
@@ -339,6 +341,7 @@ def radius_neighbors(
             include_self=include_self,
             node_mask=node_mask,
             strict=strict,
+            cell_capacity=cell_capacity,
         )
     return radius_neighbors_bruteforce(
         positions,

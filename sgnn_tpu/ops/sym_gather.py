@@ -149,7 +149,8 @@ def gather_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     # rows (+24% on the N=76k step) but LOSES at 3M rows (both P=4 and
     # P=8 — the packed table is still in the slow-gather regime there
     # and the select/repack overhead is pure cost), so packing engages
-    # only while it can bring the table under ~160k rows.
+    # only up to 1.2M rows, i.e. while the P=4 packed view stays under
+    # ~300k rows.
     pack = _PACK if _PACK_GATHER_MIN_ROWS <= rows <= 1_200_000 else 1
     if pack == 1 or rows % pack:
         out = table[flat]

@@ -88,6 +88,12 @@ class SimulatorConfig:
     # Use the gather-based (scatter-free) VJP for sender gathers. Only
     # valid when the graph is symmetric, i.e. the neighbor cap never
     # binds (dataset max degree <= slots). See ops/sym_gather.py.
+    # CAVEAT: with this set, forward_batched routes through the fused
+    # packed-gather path, which stop-gradients POSITIONS (epd_flat.py) —
+    # gradients w.r.t. position_sequences cover only the node-feature
+    # path. Training and rollout never differentiate positions, so this
+    # is safe for them; callers that need full position gradients must
+    # set symmetric_gather=False (the unfused path keeps them).
     symmetric_gather: bool = False
     # 'float32' (default) or 'bfloat16': dtype of the edge/node latents in
     # the flat execution path. bf16 halves HBM traffic on every edge-sized
@@ -101,6 +107,15 @@ class SimulatorConfig:
     # Optional static spatial domain enabling the cell-list search path.
     domain: Optional[Tuple[Tuple[float, ...], Tuple[float, ...]]] = None
     neighbor_method: str = "auto"
+    # Max occupants read per grid cell in the cell-list searches (cells
+    # have side = radius). Cells holding more particles than this
+    # silently drop the overflow, so it must be >= the densest cell's
+    # count: with particle spacing h, ~ (radius/h + 1)^dim. The default 8
+    # covers the Taylor-impact data (r=0.6 on 0.5 spacing -> <= 4/cell
+    # plus deformation headroom). Every search path — single-device,
+    # batched, and the per-shard edge-partitioned forward — reads this
+    # one knob, so distributed and single-device runs always agree.
+    cell_capacity: int = 8
 
     @property
     def slots(self) -> int:
@@ -165,6 +180,7 @@ def compute_neighbors(
         strict=True,
         domain=cfg.domain,
         method=cfg.neighbor_method,
+        cell_capacity=cfg.cell_capacity,
     )
 
 
@@ -350,6 +366,7 @@ def forward_batched(
             domain_max=tuple(cfg.domain[1]),
             max_neighbors=k,
             node_mask=node_mask,
+            cell_capacity=cfg.cell_capacity,
         )
         senders = nl.senders  # [B*N, K] global flat indices
         nf = _node_features_batched(

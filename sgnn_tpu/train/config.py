@@ -78,6 +78,9 @@ class TrainConfig:
     # Static spatial domain for the cell-list neighbor search; None -> O(N^2).
     domain_min: Optional[List[float]] = None
     domain_max: Optional[List[float]] = None
+    # Max occupants per search grid cell (cell side = radius); must cover
+    # the densest cell or neighbors silently drop (SimulatorConfig doc).
+    cell_capacity: int = 8
     # Device mesh: number of data-parallel shards (1 = single chip).
     data_parallel: int = 1
     # Physical neighbor-list slots. None -> auto: the builder-recorded

@@ -108,6 +108,7 @@ def simulator_config_from(cfg: TrainConfig, metadata: dict) -> SimulatorConfig:
         symmetric_gather=bool(symmetric),
         compute_dtype=cfg.compute_dtype,
         domain=domain,
+        cell_capacity=cfg.cell_capacity,
     )
 
 
