@@ -89,8 +89,84 @@ def run_at(num_devices, batch_per_device, n_particles, layers, hidden, s, iters)
     }
 
 
+def run_graph_at(num_shards, n_particles, layers, hidden, s, iters):
+    """Edge-partitioned full train step over `num_shards` graph shards.
+
+    One FIXED-SIZE graph (strong scaling: same N, more chips) — the
+    designed answer to the single-chip large-graph cliff (BASELINE.md
+    capacity sweep). Uses the production per-shard celltable search.
+    """
+    import optax
+
+    from sgnn_tpu.parallel.edge_partition import (
+        make_partitioned_train_step,
+        partition_plan,
+        scatter_to_shards,
+    )
+
+    mesh = make_mesh(data=1, graph=num_shards)
+    rng = np.random.default_rng(0)
+    pos = lattice(n_particles)
+    n = pos.shape[0]
+    lo, hi = pos.min(0) - 1.0, pos.max(0) + 1.0
+    sim_cfg = SimulatorConfig(
+        dim=2, latent_dim=hidden, num_message_passing_steps=layers,
+        input_sequence_length=s, connectivity_radius=0.6, max_neighbors=20,
+        neighbor_slots=8, domain=(tuple(lo.tolist()), tuple(hi.tolist())),
+    )
+    stats = NormStats(jnp.zeros(2), jnp.ones(2), jnp.zeros(2), jnp.ones(2))
+    params = simulator_init(jax.random.key(0), sim_cfg)
+    tx = optax.adam(1e-3)
+    spec, order = partition_plan(pos, num_shards, sim_cfg.connectivity_radius)
+    seq = (
+        pos[:, None, :]
+        + rng.normal(scale=0.002, size=(n, s, 2)).cumsum(1)
+    ).astype(np.float32)
+    seq_p = scatter_to_shards(seq, order, spec)
+    nt = spec.total_nodes
+    mask = np.zeros(nt, bool)
+    mask[:n] = True
+    batch = {
+        "positions": jnp.asarray(seq_p),
+        "next_position": jnp.asarray(seq_p[:, -1] + 0.01),
+        "next_strain": jnp.zeros((nt,), jnp.float32),
+        "particle_type": jnp.zeros((nt,), jnp.int32),
+        "node_mask": jnp.asarray(mask),
+    }
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    node_shard = NamedSharding(mesh, P("graph"))
+    batch = {k: jax.device_put(v, node_shard) for k, v in batch.items()}
+
+    from sgnn_tpu.physics.simulator import compute_neighbors
+
+    edges = int(compute_neighbors(sim_cfg, jnp.asarray(pos)).count_edges())
+    state = {"params": params, "opt_state": tx.init(params),
+             "step": jnp.asarray(0, jnp.int32)}
+    state = jax.device_put(state, NamedSharding(mesh, P()))
+    step = make_partitioned_train_step(mesh, sim_cfg, stats, spec, tx,
+                                       noise_std=0.001)
+    key = jax.random.key(1)
+    state, m = step(state, batch, key)
+    jax.block_until_ready(m)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step(state, batch, key)
+    jax.block_until_ready(m)
+    dt = (time.perf_counter() - t0) / iters
+    return {
+        "shards": num_shards,
+        "nodes": n,
+        "halo": spec.halo,
+        "step_time_ms": round(dt * 1e3, 2),
+        "edges_per_s": round(edges * layers / dt, 1),
+        "halo_violations": int(m["train/halo_violations"]),
+    }
+
+
 def main():
     p = argparse.ArgumentParser()
+    p.add_argument("--mode", choices=["dp", "graph"], default="dp")
     p.add_argument("--batch-per-device", type=int, default=2)
     p.add_argument("--particles", type=int, default=1024)
     p.add_argument("--layers", type=int, default=5)
@@ -103,18 +179,24 @@ def main():
     counts = [c for c in [1, 2, 4, 8, 16, 32] if c <= total]
     results = []
     for c in counts:
-        r = run_at(c, args.batch_per_device, args.particles, args.layers,
-                   args.hidden, args.seq, args.iters)
+        if args.mode == "graph":
+            r = run_graph_at(c, args.particles, args.layers, args.hidden,
+                             args.seq, args.iters)
+        else:
+            r = run_at(c, args.batch_per_device, args.particles, args.layers,
+                       args.hidden, args.seq, args.iters)
         results.append(r)
         print(json.dumps(r))
     if len(results) > 1:
         base = results[0]["edges_per_s"]
-        eff = [
-            round(r["edges_per_s"] / (base * r["devices"]), 3) for r in results
-        ]
+        # dp = weak scaling (global batch grows with devices); graph =
+        # strong scaling (fixed graph, more shards). Both normalize
+        # throughput by linear speedup off the 1-device anchor.
+        key = "devices" if args.mode == "dp" else "shards"
+        eff = [round(r["edges_per_s"] / (base * r[key]), 3) for r in results]
         print(json.dumps({
-            "metric": "dp_scaling_efficiency",
-            "devices": [r["devices"] for r in results],
+            "metric": f"{args.mode}_scaling_efficiency",
+            key: [r[key] for r in results],
             "efficiency_vs_linear": eff,
             "platform": jax.devices()[0].platform,
             "note": "CPU-mesh numbers validate the sharded program only; "

@@ -65,28 +65,15 @@ class PartitionSpec1D:
         return self.nodes_per_shard + 2 * self.halo
 
 
-def partition_plan(
-    positions: np.ndarray,
-    num_shards: int,
-    radius: float,
-    *,
-    pad_multiple: int = 8,
-    halo_slack: float = 1.5,
-) -> Tuple[PartitionSpec1D, np.ndarray]:
-    """Host-side: sort nodes by x, size the slabs and halos, validate.
+def _halo_needed(xs: np.ndarray, per: int, num_shards: int, radius: float) -> int:
+    """Rows each slab must export per side so the halo contract holds.
 
-    Returns (spec, order) where `order` is the permutation that sorts
-    nodes by x; callers reorder every per-node array with it.
+    For every slab boundary b = s*per, nodes with |x - x_b| <= radius must
+    lie entirely in the two adjacent slabs (else neighbors would skip a
+    shard) and within `halo` rows of the boundary on each side. Raises if
+    an interaction strip spans beyond the adjacent slabs.
     """
-    n = positions.shape[0]
-    order = np.argsort(positions[:, 0], kind="stable")
-    xs = positions[order, 0]
-    per = -(-n // num_shards)
-    per = -(-per // pad_multiple) * pad_multiple
-
-    # For every slab boundary b = s*per, nodes with |x - x_b| <= radius must
-    # lie entirely in the two adjacent slabs (else neighbors would skip a
-    # shard) and within `halo` rows of the boundary on each side.
+    n = len(xs)
     halo_needed = 0
     for s in range(1, num_shards):
         b = s * per
@@ -102,12 +89,80 @@ def partition_plan(
                 "too many shards for this graph — reduce num_shards"
             )
         halo_needed = max(halo_needed, b - i0, i1 - b)
+    return halo_needed
+
+
+def partition_plan(
+    positions: np.ndarray,
+    num_shards: int,
+    radius: float,
+    *,
+    pad_multiple: int = 8,
+    halo_slack: float = 1.5,
+    nodes_per_shard: Optional[int] = None,
+) -> Tuple[PartitionSpec1D, np.ndarray]:
+    """Host-side: sort nodes by x, size the slabs and halos, validate.
+
+    Returns (spec, order) where `order` is the permutation that sorts
+    nodes by x; callers reorder every per-node array with it. Pass
+    `nodes_per_shard` to pin the slab size (dataset-level plans that must
+    cover graphs of different sizes with one static shape).
+    """
+    n = positions.shape[0]
+    order = np.argsort(positions[:, 0], kind="stable")
+    xs = positions[order, 0]
+    if nodes_per_shard is None:
+        per = -(-n // num_shards)
+        per = -(-per // pad_multiple) * pad_multiple
+    else:
+        per = nodes_per_shard
+        if per * num_shards < n:
+            raise ValueError(
+                f"nodes_per_shard {per} x {num_shards} shards < {n} nodes"
+            )
+    halo_needed = _halo_needed(xs, per, num_shards, radius)
     halo = max(
         pad_multiple,
         -(-int(halo_needed * halo_slack) // pad_multiple) * pad_multiple,
     )
     halo = min(halo, per)
     return PartitionSpec1D(num_shards, per, halo), order
+
+
+def dataset_partition_plan(
+    frames,
+    num_shards: int,
+    radius: float,
+    *,
+    pad_multiple: int = 8,
+    halo_slack: float = 1.5,
+) -> PartitionSpec1D:
+    """One static plan covering every frame in `frames`.
+
+    frames: iterable of [N, dim] position arrays (representative frames of
+    every trajectory — e.g. first/last, since deformation moves the
+    boundaries). Slab size comes from the largest frame; halo is the max
+    over frames (plus slack), and every frame is validated against the
+    adjacency contract. Per-sample sort orders still come from
+    `partition_plan`/np.argsort at feed time; this spec is what the
+    compiled program is shaped by.
+    """
+    frames = [np.asarray(f) for f in frames]
+    if not frames:
+        raise ValueError("dataset_partition_plan needs at least one frame")
+    max_n = max(f.shape[0] for f in frames)
+    per = -(-max_n // num_shards)
+    per = -(-per // pad_multiple) * pad_multiple
+    halo_needed = 0
+    for f in frames:
+        xs = np.sort(f[:, 0], kind="stable")
+        halo_needed = max(halo_needed, _halo_needed(xs, per, num_shards, radius))
+    halo = max(
+        pad_multiple,
+        -(-int(halo_needed * halo_slack) // pad_multiple) * pad_multiple,
+    )
+    halo = min(halo, per)
+    return PartitionSpec1D(num_shards, per, halo)
 
 
 def scatter_to_shards(arr: np.ndarray, order: np.ndarray, spec: PartitionSpec1D):
@@ -146,8 +201,13 @@ def _sharded_forward(
     position_sequence: jnp.ndarray,  # [N_local, S, dim] (this shard's slab)
     particle_types: jnp.ndarray,  # [N_local]
     node_mask: jnp.ndarray,  # [N_local]
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Distributed EPD forward on one shard (runs under shard_map)."""
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Distributed EPD forward on one shard (runs under shard_map).
+
+    Returns (norm_acc, strain, halo_violations) — the third output is a
+    replicated int32 count of broken halo-contract conditions (see
+    `_halo_guard`); 0 means the static plan still covers this geometry.
+    """
     halo = spec.halo
     n_local = position_sequence.shape[0]
 
@@ -155,6 +215,9 @@ def _sharded_forward(
     last_pos = position_sequence[:, -1]
     pos_ext = _halo_exchange(last_pos, halo, axis)
     mask_ext = _halo_exchange(node_mask.astype(jnp.int32), halo, axis) > 0
+    violations = _halo_guard(
+        last_pos[:, 0], node_mask, halo, cfg.connectivity_radius, axis
+    )
 
     # --- local radius graph: receivers = local rows of the ext array ------
     if cfg.domain is not None:
@@ -171,6 +234,7 @@ def _sharded_forward(
             domain_max=tuple(cfg.domain[1]),
             max_neighbors=cfg.slots,
             node_mask=mask_ext[None],
+            cell_capacity=cfg.cell_capacity,
         )
     else:
         nl_ext = radius_neighbors_bruteforce(
@@ -248,22 +312,84 @@ def _sharded_forward(
         e = (e + msg) * e_mask[..., None].astype(x.dtype)
 
     pred = mlp_apply(epd["decoder"], x)
-    return pred[:, : cfg.dim], pred[:, -1]
+    return pred[:, : cfg.dim], pred[:, -1], violations
 
 
-def make_partitioned_forward(
+def _halo_guard(
+    x: jnp.ndarray,  # [N_local] x coordinates (the sorted axis)
+    node_mask: jnp.ndarray,  # [N_local]
+    halo: int,
+    radius: float,
+    axis: str,
+) -> jnp.ndarray:
+    """On-device check that the static partition plan still holds.
+
+    `partition_plan` validates the halo contract ONCE, host-side, from the
+    positions it was given. During an autoregressive rollout the body
+    deforms; if nodes drift across slab x-extents the contract would break
+    *silently* — edges to out-of-halo neighbors simply vanish from the
+    search. This guard counts broken contract conditions every forward so
+    callers can surface them (rollout outputs carry `halo_violations`) and
+    re-plan (`partition_plan` on the current positions) when nonzero.
+
+    The check is exact for the plan's own x-interval invariant: each
+    shard publishes (min_x, max_x) over its masked nodes plus
+    min_x over nodes NOT in its first-`halo` rows (not shipped left) and
+    max_x over nodes NOT in its last-`halo` rows (not shipped right); one
+    tiny all_gather later, shard s flags
+      * a right neighbor whose unshipped-left nodes come within `radius`
+        (in x) of s's extent — senders s's receivers can no longer see,
+      * its own unshipped-right nodes within `radius` of the right
+        neighbor's extent — senders the right neighbor can't see,
+      * any shard >= 2 slabs away whose x-extent comes within `radius` —
+        neighbors entirely outside the exchange pattern.
+    Left-side conditions are each boundary's right-side condition on the
+    previous shard, so every boundary is counted exactly once. A clean
+    plan has margin by construction (`halo` rows cover all nodes within
+    `radius` of each boundary), so false positives require the invariant
+    itself to have decayed — which is exactly when a re-plan is due.
+    """
+    n_local = x.shape[0]
+    row = jnp.arange(n_local)
+    inf = jnp.asarray(jnp.inf, x.dtype)
+    xm_min = jnp.min(jnp.where(node_mask, x, inf))
+    xm_max = jnp.max(jnp.where(node_mask, x, -inf))
+    tail_mask = node_mask & (row >= halo)  # not shipped to the left neighbor
+    head_mask = node_mask & (row < n_local - halo)  # not shipped right
+    min_tail = jnp.min(jnp.where(tail_mask, x, inf))
+    max_head = jnp.max(jnp.where(head_mask, x, -inf))
+    stats4 = jnp.stack([xm_min, xm_max, min_tail, max_head])
+    gath = jax.lax.all_gather(stats4, axis)  # [P, 4] replicated
+    p = gath.shape[0]
+    s = jax.lax.axis_index(axis)
+    t = jnp.arange(p)
+    is_right = t == s + 1
+    # right neighbor holds back a node within radius of my extent
+    viol = is_right & (gath[:, 2] < xm_max + radius)
+    # I hold back a node within radius of the right neighbor's extent
+    viol |= is_right & (max_head > gath[:, 0] - radius)
+    # non-adjacent shards' x-extents within radius of mine (count t > s once)
+    far = t > s + 1
+    gap = jnp.maximum(gath[:, 0] - xm_max, xm_min - gath[:, 1])
+    viol |= far & (gap < radius)
+    local = jnp.sum(viol.astype(jnp.int32))
+    return jax.lax.psum(local, axis)
+
+
+def _build_forward(
     mesh: Mesh,
     cfg: SimulatorConfig,
     stats: NormStats,
     spec: PartitionSpec1D,
-    *,
     axis: str = "graph",
 ):
-    """Build a jitted distributed forward over `mesh`'s `axis`.
+    """Unjitted global forward over `mesh`'s `axis`.
 
     Inputs are global arrays with the node axis sharded over `axis`:
       position_sequence [N_total, S, dim], particle_types [N_total],
-      node_mask [N_total]. Returns (norm_acc [N_total, dim], strain).
+      node_mask [N_total].
+    Returns (norm_acc [N_total, dim], strain [N_total],
+             halo_violations int32 scalar — see `_halo_guard`).
     """
     from jax import shard_map
 
@@ -276,9 +402,27 @@ def make_partitioned_forward(
             ),
             mesh=mesh,
             in_specs=(P(), P(axis), P(axis), P(axis)),
-            out_specs=(P(axis), P(axis)),
+            out_specs=(P(axis), P(axis), P()),
             check_vma=False,
         )(params, position_sequence, particle_types, node_mask)
+
+    return wrapped
+
+
+def make_partitioned_forward(
+    mesh: Mesh,
+    cfg: SimulatorConfig,
+    stats: NormStats,
+    spec: PartitionSpec1D,
+    *,
+    axis: str = "graph",
+):
+    """Jitted distributed forward: (params, seq, types, mask) -> (acc, strain)."""
+    fwd = _build_forward(mesh, cfg, stats, spec, axis)
+
+    def wrapped(params, position_sequence, particle_types, node_mask):
+        acc, strain, _ = fwd(params, position_sequence, particle_types, node_mask)
+        return acc, strain
 
     return jax.jit(wrapped)
 
@@ -292,10 +436,10 @@ def make_partitioned_predict_positions(
     axis: str = "graph",
 ):
     """Distributed inference step: Euler-integrate the partitioned forward."""
-    fwd = make_partitioned_forward(mesh, cfg, stats, spec, axis=axis)
+    fwd = _build_forward(mesh, cfg, stats, spec, axis)
 
     def predict(params, position_sequence, particle_types, node_mask):
-        norm_acc, strain = fwd(params, position_sequence, particle_types, node_mask)
+        norm_acc, strain, _ = fwd(params, position_sequence, particle_types, node_mask)
         next_pos = decoder_postprocess(stats, norm_acc, position_sequence)
         return next_pos, strain
 
@@ -313,12 +457,12 @@ def make_partitioned_loss(
     loss_weight_strain: float = 1.0,
 ):
     """Distributed training loss (noise-corrupted one-step objective)."""
-    fwd = make_partitioned_forward(mesh, cfg, stats, spec, axis=axis)
+    fwd = _build_forward(mesh, cfg, stats, spec, axis)
 
     def loss_fn(params, position_sequence, noise, next_positions, next_strains,
                 particle_types, node_mask):
         noisy = position_sequence + noise
-        pred_acc, pred_strain = fwd(params, noisy, particle_types, node_mask)
+        pred_acc, pred_strain, _ = fwd(params, noisy, particle_types, node_mask)
         next_adjusted = next_positions + noise[:, -1]
         target_acc = inverse_decoder_postprocess(stats, next_adjusted, noisy)
         m = node_mask.astype(pred_acc.dtype)
@@ -329,3 +473,180 @@ def make_partitioned_loss(
         return jnp.sum(loss * m) / denom
 
     return jax.jit(loss_fn)
+
+
+# --------------------------------------------------------------------------
+# Training driver pieces: optimizer step + autoregressive rollout.
+# The distributed counterparts of the hot loop at
+# /root/reference/sgnn/single_scale/train.py:230-399 and the rollout loop
+# at /root/reference/sgnn/single_scale/evaluate.py:52-175 — which the
+# reference runs strictly single-device; this layer is new scope.
+# --------------------------------------------------------------------------
+
+
+def make_partitioned_train_step(
+    mesh: Mesh,
+    cfg: SimulatorConfig,
+    stats: NormStats,
+    spec: PartitionSpec1D,
+    tx,
+    *,
+    axis: str = "graph",
+    noise_std: float = 0.02,
+    loss_weight_position: float = 1.0,
+    loss_weight_strain: float = 1.0,
+):
+    """Jitted (state, batch, key) -> (state, metrics) over a partitioned graph.
+
+    `state` = {params, opt_state, step} with replicated leaves; `batch` =
+    {positions [N,S,dim], next_position [N,dim], next_strain [N],
+    particle_type [N], node_mask [N]} with the node axis sharded over
+    `axis`. Noise is sampled inside the step (same random-walk model as
+    the single-device trainer); metric names match the reference wandb
+    schema plus `train/halo_violations`.
+    """
+    import optax
+
+    from sgnn_tpu.physics.noise import random_walk_position_noise
+
+    fwd = _build_forward(mesh, cfg, stats, spec, axis)
+
+    def loss_fn(params, batch, key):
+        noise = random_walk_position_noise(key, batch["positions"].shape, noise_std)
+        noisy = batch["positions"] + noise
+        pred_acc, pred_strain, violations = fwd(
+            params, noisy, batch["particle_type"], batch["node_mask"]
+        )
+        next_adjusted = batch["next_position"] + noise[:, -1]
+        target_acc = inverse_decoder_postprocess(stats, next_adjusted, noisy)
+        m = batch["node_mask"].astype(pred_acc.dtype)
+        denom = jnp.maximum(jnp.sum(m), 1.0)
+        sq_acc = (pred_acc - target_acc) ** 2  # [N, dim]
+        loss_pos = jnp.sum(sq_acc, axis=-1)
+        loss_strain = (pred_strain - batch["next_strain"]) ** 2
+        loss = (
+            loss_weight_position * loss_pos + loss_weight_strain * loss_strain
+        )
+        loss = jnp.sum(loss * m) / denom
+        loss_xy = jnp.sum(sq_acc * m[:, None], axis=0) / denom
+        aux = {
+            "train/loss-position": jnp.sum(loss_pos * m) / denom,
+            "train/loss-strain": jnp.sum(loss_strain * m) / denom,
+            "train/loss-x": loss_xy[0],
+            "train/loss-y": loss_xy[1],
+            "train/halo_violations": violations,
+        }
+        if cfg.dim == 3:
+            aux["train/loss-z"] = loss_xy[2]
+        return loss, aux
+
+    def step(state, batch, key):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state["params"], batch, key
+        )
+        updates, opt_state = tx.update(grads, state["opt_state"], state["params"])
+        params = optax.apply_updates(state["params"], updates)
+        new_state = {
+            "params": params,
+            "opt_state": opt_state,
+            "step": state["step"] + 1,
+        }
+        return new_state, {"train/loss": loss, **aux}
+
+    return jax.jit(step)
+
+
+def make_partitioned_rollout(
+    mesh: Mesh,
+    cfg: SimulatorConfig,
+    stats: NormStats,
+    spec: PartitionSpec1D,
+    *,
+    axis: str = "graph",
+    inference_mode: str = "autoregressive",
+):
+    """Distributed autoregressive rollout: one lax.scan over the shard_map
+    forward (the single-device twin is physics/rollout.py).
+
+    (params, positions [N,T,dim], particle_types [N], strains [T,N],
+    node_mask [N]) -> the reference rollout dict (evaluate.py:161-173)
+    plus `halo_violations` [T-S]: per-step guard counts (nonzero means
+    the deforming body outgrew the static plan that step — re-plan with
+    `partition_plan` on the current positions). Node arrays are in the
+    plan's x-sorted order; callers holding the plan's `order` can inverse-
+    permute for presentation.
+    """
+    if inference_mode not in ("autoregressive", "one_step"):
+        raise ValueError(f"Unknown inference_mode: {inference_mode}")
+    from sgnn_tpu.physics.rollout import EROSIONAL_PARTICLE_ID, cumulative_rmse
+
+    fwd = _build_forward(mesh, cfg, stats, spec, axis)
+    s = cfg.input_sequence_length
+
+    def run(params, positions, particle_types, strains, node_mask):
+        initial_positions = positions[:, :s]  # [N, S, dim]
+        gt_positions = jnp.transpose(positions[:, s:], (1, 0, 2))  # [T-S, N, dim]
+        gt_strains = strains[s:]  # [T-S, N]
+        erosional = (particle_types == EROSIONAL_PARTICLE_ID)[:, None]
+
+        def step(window, xs):
+            gt_pos, gt_strain = xs
+            norm_acc, strain, violations = fwd(
+                params, window, particle_types, node_mask
+            )
+            next_pos = decoder_postprocess(stats, norm_acc, window)
+            next_pos = jnp.where(erosional, gt_pos, next_pos)
+            strain = jnp.where(erosional[:, 0], gt_strain, strain)
+            fill = next_pos if inference_mode == "autoregressive" else gt_pos
+            new_window = jnp.concatenate([window[:, 1:], fill[:, None, :]], axis=1)
+            return new_window, (next_pos, strain, violations)
+
+        _, (pred_positions, pred_strains, violations) = jax.lax.scan(
+            step, initial_positions, (gt_positions, gt_strains)
+        )
+        return {
+            "initial_positions": jnp.transpose(initial_positions, (1, 0, 2)),
+            "initial_strains": strains[:s],
+            "predicted_rollout": pred_positions,
+            "ground_truth_rollout": gt_positions,
+            "predicted_strain": pred_strains,
+            "ground_truth_strain": gt_strains,
+            "particle_types": particle_types,
+            "rmse_position": cumulative_rmse(pred_positions, gt_positions, node_mask),
+            "rmse_strain": cumulative_rmse(
+                pred_strains[..., None], gt_strains[..., None], node_mask
+            ),
+            "halo_violations": violations,
+        }
+
+    return jax.jit(run)
+
+
+def partition_sample(
+    batch: dict, spec: PartitionSpec1D, *, sort_frame: int = -1
+) -> dict:
+    """Host-side: one [1, N, ...] SampleBatcher batch -> a partitioned flat
+    sample for `make_partitioned_train_step`.
+
+    Real (masked) nodes are x-sorted by ``positions[:, sort_frame, 0]``
+    and padded to ``spec.total_nodes``; loader padding rows (which sit at
+    arbitrary positions like x=0 and would corrupt the slab sort) are
+    dropped and re-appended at the end with ``node_mask`` False.
+    """
+    m = np.asarray(batch["node_mask"][0])
+    idx = np.nonzero(m)[0]
+    pos = np.asarray(batch["positions"][0])
+    order = idx[np.argsort(pos[idx, sort_frame, 0], kind="stable")]
+    nt = spec.total_nodes
+    if len(order) > nt:
+        raise ValueError(f"sample has {len(order)} nodes > plan capacity {nt}")
+    out = {}
+    for k in ("positions", "next_position", "next_strain", "particle_type"):
+        a = np.asarray(batch[k][0])
+        buf = np.zeros((nt, *a.shape[1:]), a.dtype)
+        buf[: len(order)] = a[order]
+        out[k] = buf
+    mask = np.zeros(nt, bool)
+    mask[: len(order)] = True
+    out["node_mask"] = mask
+    return out

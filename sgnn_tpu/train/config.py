@@ -83,6 +83,12 @@ class TrainConfig:
     cell_capacity: int = 8
     # Device mesh: number of data-parallel shards (1 = single chip).
     data_parallel: int = 1
+    # Graph/edge partitioning (parallel/edge_partition.py): shard ONE
+    # graph's nodes/edges over this many chips with per-layer halo
+    # exchange — the scaling axis for graphs too large/slow for one chip
+    # (BASELINE.md size sweep). Requires batch_size=1 (one partitioned
+    # graph per step); mutually exclusive with data_parallel>1 for now.
+    graph_parallel: int = 1
     # Physical neighbor-list slots. None -> auto: the builder-recorded
     # dataset max degree + 2 (capped at max_neighbors), falling back to
     # max_neighbors for datasets without the record. Exact semantics with

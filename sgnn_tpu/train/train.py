@@ -244,6 +244,82 @@ def evaluate_split(
     return outputs, summary
 
 
+_NODE_AXIS1_KEYS = (
+    "initial_positions",
+    "initial_strains",
+    "predicted_rollout",
+    "ground_truth_rollout",
+    "predicted_strain",
+    "ground_truth_strain",
+)
+
+
+def make_partitioned_host_rollout(mesh, sim_cfg, stats, spec, mode: str):
+    """Distributed rollout with host-side (re)partitioning per trajectory.
+
+    Same call signature as make_jit_rollout's product, so evaluate_split
+    works unchanged: nodes are x-sorted into the plan's slabs on the way
+    in and inverse-permuted back to the caller's layout on the way out.
+    Surfaces the per-step halo-violation counter (see edge_partition).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from sgnn_tpu.parallel.edge_partition import make_partitioned_rollout
+
+    run = make_partitioned_rollout(mesh, sim_cfg, stats, spec, inference_mode=mode)
+    rep = NamedSharding(mesh, P())
+
+    def _rollout(params, positions, types, strains, node_mask):
+        # restored checkpoints live on one device; the shard_map needs
+        # params replicated over the whole mesh
+        params = jax.device_put(params, rep)
+        pos = np.asarray(positions)
+        ty = np.asarray(types)
+        st = np.asarray(strains)
+        m = np.asarray(node_mask)
+        idx = np.nonzero(m)[0]
+        # sort by frame-0 x: the static plan's halo slack + runtime guard
+        # cover drift over the trajectory
+        order = idx[np.argsort(pos[idx, 0, 0], kind="stable")]
+        nt, k = spec.total_nodes, len(order)
+        pos_s = np.zeros((nt, *pos.shape[1:]), pos.dtype)
+        pos_s[:k] = pos[order]
+        ty_s = np.zeros(nt, ty.dtype)
+        ty_s[:k] = ty[order]
+        st_s = np.zeros((st.shape[0], nt), st.dtype)
+        st_s[:, :k] = st[:, order]
+        m_s = np.zeros(nt, bool)
+        m_s[:k] = True
+        out = run(
+            params, jnp.asarray(pos_s), jnp.asarray(ty_s),
+            jnp.asarray(st_s), jnp.asarray(m_s),
+        )
+        out = {key: np.asarray(v) for key, v in out.items()}
+        n_view = pos.shape[0]
+        fixed = {}
+        for key, v in out.items():
+            if key == "particle_types":
+                buf = np.zeros((n_view, *v.shape[1:]), v.dtype)
+                buf[order] = v[:k]
+                fixed[key] = buf
+            elif key in _NODE_AXIS1_KEYS:
+                buf = np.zeros((v.shape[0], n_view, *v.shape[2:]), v.dtype)
+                buf[:, order] = v[:, :k]
+                fixed[key] = buf
+            else:
+                fixed[key] = v
+        viol = int(fixed["halo_violations"].sum())
+        if viol:
+            print(
+                f"  WARNING: {viol} halo-contract violations during rollout — "
+                "the deforming geometry outgrew the static partition plan; "
+                "re-plan (edge_partition.partition_plan) or reduce graph_parallel"
+            )
+        return fixed
+
+    return _rollout
+
+
 def make_jit_rollout(sim_cfg: SimulatorConfig, stats: NormStats, mode: str):
     @functools.partial(jax.jit, static_argnames=())
     def _rollout(params, positions, types, strains, node_mask):
@@ -320,6 +396,18 @@ def train(cfg: TrainConfig) -> dict:
     else:
         train_step = make_train_step(sim_cfg, stats, cfg, tx)
     batch_put = None
+    if cfg.graph_parallel > 1:
+        if cfg.data_parallel > 1:
+            raise ValueError(
+                "data_parallel and graph_parallel are mutually exclusive"
+            )
+        if cfg.batch_size != 1:
+            raise ValueError(
+                "graph_parallel trains one partitioned graph per step; "
+                "set batch_size: 1"
+            )
+        if inner > 1:
+            raise ValueError("inner_steps > 1 with graph_parallel is unsupported")
     if cfg.data_parallel > 1:
         from sgnn_tpu.parallel import make_dp_train_step, make_mesh
         from sgnn_tpu.parallel.data_parallel import (
@@ -341,7 +429,47 @@ def train(cfg: TrainConfig) -> dict:
             train_step = make_dp_train_step(train_step, mesh)
             batch_put = lambda b: shard_batch(mesh, b)  # prefetch straight to shards
         print(f"data-parallel over {cfg.data_parallel} devices")
-    jit_rollout = make_jit_rollout(sim_cfg, stats, cfg.inference_mode)
+    spec = None
+    if cfg.graph_parallel > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from sgnn_tpu.parallel import make_mesh
+        from sgnn_tpu.parallel.edge_partition import (
+            dataset_partition_plan,
+            make_partitioned_train_step,
+        )
+
+        frames = [
+            pos[t]
+            for pos, _, _ in batcher.trajectories
+            for t in (0, pos.shape[0] // 2, pos.shape[0] - 1)
+        ]
+        spec = dataset_partition_plan(
+            frames, cfg.graph_parallel, cfg.connection_radius
+        )
+        gmesh = make_mesh(data=1, graph=cfg.graph_parallel)
+        train_step = make_partitioned_train_step(
+            gmesh, sim_cfg, stats, spec, tx,
+            noise_std=cfg.noise_std,
+            loss_weight_position=cfg.loss_weight_position,
+            loss_weight_strain=cfg.loss_weight_strain,
+        )
+        node_shard = NamedSharding(gmesh, P("graph"))
+        batch_put = lambda b: {
+            k: jax.device_put(v, node_shard) for k, v in b.items()
+        }
+        # fresh/restored state lives on one device; replicate over the mesh
+        state = jax.device_put(state, NamedSharding(gmesh, P()))
+        print(
+            f"graph-parallel: {cfg.graph_parallel} shards x "
+            f"{spec.nodes_per_shard} nodes (halo {spec.halo})"
+        )
+    if spec is not None:
+        jit_rollout = make_partitioned_host_rollout(
+            gmesh, sim_cfg, stats, spec, cfg.inference_mode
+        )
+    else:
+        jit_rollout = make_jit_rollout(sim_cfg, stats, cfg.inference_mode)
     logger = MetricLogger(
         ckpt_dir, use_wandb=cfg.log, project=cfg.project_name, run_name=cfg.run_name
     )
@@ -373,6 +501,10 @@ def train(cfg: TrainConfig) -> dict:
     source = batcher.epochs()
     if inner > 1:
         source = _stack_host_batches(source, inner)
+    if spec is not None:
+        from sgnn_tpu.parallel.edge_partition import partition_sample
+
+        source = (partition_sample(b, spec) for b in source)
     prefetch = DevicePrefetcher(source, depth=2, put=batch_put)
     interrupted = False
     try:
@@ -400,6 +532,12 @@ def train(cfg: TrainConfig) -> dict:
                     f"strain={metrics['train/loss-strain']:.6f} "
                     f"({dt*1e3:.0f} ms/step)"
                 )
+                if metrics.get("train/halo_violations", 0) > 0:
+                    print(
+                        "  WARNING: halo-contract violations this step — the "
+                        "noisy sample geometry outgrew the static partition "
+                        "plan (see edge_partition._halo_guard)"
+                    )
 
             if step % cfg.nsave_steps == 0 and step > 0:
                 print(f"validating at step {step}...")
@@ -469,7 +607,28 @@ def predict(cfg: TrainConfig) -> dict:
 
     split = "test" if cfg.mode == "rollout" else "valid"
     loader = TrajectoryLoader(data_dir / f"{split}.npz", pad_multiple=cfg.pad_multiple)
-    jit_rollout = make_jit_rollout(sim_cfg, stats, cfg.inference_mode)
+    if cfg.graph_parallel > 1:
+        from sgnn_tpu.parallel import make_mesh
+        from sgnn_tpu.parallel.edge_partition import dataset_partition_plan
+
+        frames = [
+            pos[t]
+            for pos, _, _ in loader.trajectories
+            for t in (0, pos.shape[0] // 2, pos.shape[0] - 1)
+        ]
+        spec = dataset_partition_plan(
+            frames, cfg.graph_parallel, cfg.connection_radius
+        )
+        gmesh = make_mesh(data=1, graph=cfg.graph_parallel)
+        jit_rollout = make_partitioned_host_rollout(
+            gmesh, sim_cfg, stats, spec, cfg.inference_mode
+        )
+        print(
+            f"graph-parallel rollout: {cfg.graph_parallel} shards x "
+            f"{spec.nodes_per_shard} nodes (halo {spec.halo})"
+        )
+    else:
+        jit_rollout = make_jit_rollout(sim_cfg, stats, cfg.inference_mode)
 
     monitor = ResourceMonitor()
     monitor.start()

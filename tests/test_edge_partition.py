@@ -180,3 +180,168 @@ def test_partitioned_forward_celltable_domain(mesh):
     np.testing.assert_allclose(
         np.asarray(strain)[mask], np.asarray(ref_strain)[mask], rtol=2e-4, atol=2e-5
     )
+
+
+def test_partitioned_train_step_matches_single_device(mesh):
+    """3 optimizer steps of the partitioned trainer == a single-device
+    trainer on the same flat objective (same noise bits via same keys)."""
+    import optax
+    from sgnn_tpu.parallel.edge_partition import make_partitioned_train_step
+    from sgnn_tpu.physics.noise import random_walk_position_noise
+    from sgnn_tpu.physics.simulator import predict_accelerations
+
+    cfg, stats, params, seq, n = setup()
+    spec, order = partition_plan(seq[:, -1], 8, cfg.connectivity_radius)
+    seq_sorted = scatter_to_shards(seq, order, spec)
+    rng = np.random.default_rng(3)
+    nxt = seq_sorted[:, -1] + rng.normal(scale=0.01, size=(spec.total_nodes, 2)).astype(np.float32)
+    nstrain = rng.normal(size=(spec.total_nodes,)).astype(np.float32)
+    mask = np.zeros(spec.total_nodes, bool)
+    mask[:n] = True
+    batch = {
+        "positions": jnp.asarray(seq_sorted),
+        "next_position": jnp.asarray(nxt),
+        "next_strain": jnp.asarray(nstrain),
+        "particle_type": jnp.zeros(spec.total_nodes, jnp.int32),
+        "node_mask": jnp.asarray(mask),
+    }
+    noise_std = 1e-3
+    tx = optax.adam(1e-3)
+    state = {"params": params, "opt_state": tx.init(params),
+             "step": jnp.asarray(0, jnp.int32)}
+    part_step = make_partitioned_train_step(
+        mesh, cfg, stats, spec, tx, noise_std=noise_std
+    )
+
+    # single-device twin: same flat arrays, same noise function + key
+    def ref_loss(p, key):
+        noise = random_walk_position_noise(key, batch["positions"].shape, noise_std)
+        pa, ta, ps = predict_accelerations(
+            p, cfg, stats, batch["next_position"], noise, batch["positions"],
+            batch["particle_type"], batch["node_mask"],
+        )
+        m = batch["node_mask"].astype(pa.dtype)
+        denom = jnp.maximum(jnp.sum(m), 1.0)
+        l = jnp.sum((pa - ta) ** 2, axis=-1) + (ps - batch["next_strain"]) ** 2
+        return jnp.sum(l * m) / denom
+
+    @jax.jit
+    def ref_step(state, key):
+        loss, grads = jax.value_and_grad(ref_loss)(state["params"], key)
+        updates, opt_state = tx.update(grads, state["opt_state"], state["params"])
+        params = optax.apply_updates(state["params"], updates)
+        return {"params": params, "opt_state": opt_state,
+                "step": state["step"] + 1}, loss
+
+    ref_state = jax.tree.map(lambda x: x, state)
+    for i in range(3):
+        key = jax.random.key(100 + i)
+        state, metrics = part_step(state, batch, key)
+        ref_state, ref_l = ref_step(ref_state, key)
+        np.testing.assert_allclose(
+            float(metrics["train/loss"]), float(ref_l), rtol=2e-4
+        )
+        assert int(metrics["train/halo_violations"]) == 0
+    assert int(state["step"]) == 3
+    for a, b in zip(jax.tree.leaves(state["params"]), jax.tree.leaves(ref_state["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=1e-5)
+
+
+def test_partitioned_rollout_matches_single_device(mesh):
+    from sgnn_tpu.parallel.edge_partition import make_partitioned_rollout
+    from sgnn_tpu.physics.rollout import rollout as rollout_ref
+
+    cfg, stats, params, seq, n = setup(s=5)
+    t_total = 9
+    rng = np.random.default_rng(7)
+    # full trajectory [N, T, dim]: the window drifts gently
+    drift = rng.normal(scale=0.003, size=(n, t_total, 2)).cumsum(axis=1).astype(np.float32)
+    traj = seq[:, :1] + drift
+    spec, order = partition_plan(traj[:, 0], 8, cfg.connectivity_radius)
+    traj_sorted = scatter_to_shards(traj, order, spec)
+    strains = rng.normal(size=(t_total, n)).astype(np.float32)
+    strains_sorted = np.zeros((t_total, spec.total_nodes), np.float32)
+    strains_sorted[:, : n] = strains[:, order]
+    types = np.zeros(spec.total_nodes, np.int32)
+    types[5] = -1  # one erosional particle follows ground truth
+    mask = np.zeros(spec.total_nodes, bool)
+    mask[:n] = True
+
+    args = (
+        jnp.asarray(traj_sorted), jnp.asarray(types),
+        jnp.asarray(strains_sorted), jnp.asarray(mask),
+    )
+    ref = rollout_ref(params, cfg, stats, args[0], args[1], args[2], node_mask=args[3])
+    run = make_partitioned_rollout(mesh, cfg, stats, spec)
+    out = run(params, *args)
+
+    assert np.asarray(out["halo_violations"]).shape == (t_total - 5,)
+    assert int(np.asarray(out["halo_violations"]).sum()) == 0
+    m = np.asarray(mask)
+    np.testing.assert_allclose(
+        np.asarray(out["predicted_rollout"])[:, m],
+        np.asarray(ref["predicted_rollout"])[:, m],
+        rtol=1e-3, atol=2e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["rmse_position"]), np.asarray(ref["rmse_position"]),
+        rtol=1e-3, atol=1e-5,
+    )
+
+
+def test_halo_guard_fires_on_drift(mesh):
+    """Deforming nodes past their slab's reach trips the violation counter
+    instead of silently losing edges (VERDICT r1 weak #3)."""
+    from sgnn_tpu.parallel.edge_partition import make_partitioned_train_step
+    import optax
+
+    cfg, stats, params, seq, n = setup()
+    spec, order = partition_plan(seq[:, -1], 8, cfg.connectivity_radius)
+    seq_sorted = scatter_to_shards(seq, order, spec)
+    # teleport the first slab's interior nodes far to the right: their x
+    # extent now reaches non-adjacent slabs
+    bad = seq_sorted.copy()
+    bad[: spec.nodes_per_shard // 2, :, 0] += 20.0
+    mask = np.zeros(spec.total_nodes, bool)
+    mask[:n] = True
+    tx = optax.adam(1e-3)
+    state = {"params": params, "opt_state": tx.init(params),
+             "step": jnp.asarray(0, jnp.int32)}
+    step = make_partitioned_train_step(mesh, cfg, stats, spec, tx, noise_std=1e-4)
+    batch = {
+        "positions": jnp.asarray(bad),
+        "next_position": jnp.asarray(bad[:, -1]),
+        "next_strain": jnp.zeros(spec.total_nodes, jnp.float32),
+        "particle_type": jnp.zeros(spec.total_nodes, jnp.int32),
+        "node_mask": jnp.asarray(mask),
+    }
+    _, metrics = step(state, batch, jax.random.key(0))
+    assert int(metrics["train/halo_violations"]) > 0
+
+    # pristine geometry stays quiet
+    batch["positions"] = jnp.asarray(seq_sorted)
+    batch["next_position"] = jnp.asarray(seq_sorted[:, -1])
+    _, metrics = step(state, batch, jax.random.key(0))
+    assert int(metrics["train/halo_violations"]) == 0
+
+
+def test_dataset_partition_plan_covers_frames():
+    from sgnn_tpu.parallel.edge_partition import dataset_partition_plan
+
+    f0 = bar_lattice(nx=64, ny=8, seed=0)
+    f1 = f0.copy()
+    f1[:, 0] *= 0.7  # compressed bar (impact) — denser boundaries
+    spec = dataset_partition_plan([f0, f1], 8, 0.6)
+    # the combined halo covers what each frame needs on the pinned slab size
+    for f in (f0, f1):
+        spec_f, _ = partition_plan(
+            f, 8, 0.6, nodes_per_shard=spec.nodes_per_shard
+        )
+        assert spec.halo >= spec_f.halo
+    assert spec.total_nodes >= len(f0)
+    # an incompatible frame (bar crushed inside one radius) still raises
+    f2 = f0.copy()
+    f2[:, 0] *= 0.01
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        dataset_partition_plan([f0, f2], 8, 0.6)
