@@ -18,10 +18,16 @@ from sgnn_tpu.parallel.mesh import batch_sharding, replicated
 
 
 def shard_batch(mesh: Mesh, batch: dict) -> dict:
-    """Device_put every batch array with its leading axis over 'data'."""
-    return {
-        k: jax.device_put(v, batch_sharding(mesh, v.ndim)) for k, v in batch.items()
-    }
+    """Device_put every batch leaf with its leading axis over 'data'.
+
+    Tree-aware: batch values may be pytrees (the multi-scale trainer's
+    per-sample StaticGraph stacks its leaves on the batch axis too).
+    """
+    import numpy as np
+
+    return jax.tree.map(
+        lambda v: jax.device_put(v, batch_sharding(mesh, np.ndim(v))), batch
+    )
 
 
 def make_dp_train_step(train_step: Callable, mesh: Mesh) -> Callable:
@@ -42,12 +48,14 @@ def make_dp_train_step(train_step: Callable, mesh: Mesh) -> Callable:
 
 def shard_stacked_batch(mesh: Mesh, batches: dict) -> dict:
     """shard_batch for time-stacked batches [T, B, ...]: axis 1 over 'data'."""
+    import numpy as np
+
     from sgnn_tpu.parallel.mesh import stacked_batch_sharding
 
-    return {
-        k: jax.device_put(v, stacked_batch_sharding(mesh, v.ndim))
-        for k, v in batches.items()
-    }
+    return jax.tree.map(
+        lambda v: jax.device_put(v, stacked_batch_sharding(mesh, np.ndim(v))),
+        batches,
+    )
 
 
 def make_dp_train_multi_step(multi_step: Callable, mesh: Mesh) -> Callable:

@@ -158,6 +158,14 @@ def make_jit_rollout(sim_cfg, stats, mode):
 
 
 def evaluate_split(params, loader, jit_rollout):
+    """Validation statistics over a trajectory loader.
+
+    Matches the reference's multi-scale validation exactly
+    (multi_scale_evaluate.py:102-106): the multi-scale family scores
+    rollouts by PER-STEP RMSE — loss_total/position/strain are the
+    final step's per-step RMSE, one_step the first step's — unlike the
+    single-scale family's cumulative metric (evaluate.py:36-39).
+    """
     outputs, losses = [], {"total": [], "position": [], "strain": [], "one_step": []}
     for traj in loader:
         t0 = time.time()
@@ -172,10 +180,14 @@ def evaluate_split(params, loader, jit_rollout):
         out = {k: np.asarray(v) for k, v in out.items()}
         out["run_time"] = time.time() - t0
         outputs.append(out)
-        losses["position"].append(out["rmse_position"][-1])
-        losses["strain"].append(out["rmse_strain"][-1])
-        losses["total"].append(out["rmse_position"][-1] + out["rmse_strain"][-1])
-        losses["one_step"].append(out["rmse_position"][0] + out["rmse_strain"][0])
+        losses["position"].append(out["rmse_position_per_step"][-1])
+        losses["strain"].append(out["rmse_strain_per_step"][-1])
+        losses["total"].append(
+            out["rmse_position_per_step"][-1] + out["rmse_strain_per_step"][-1]
+        )
+        losses["one_step"].append(
+            out["rmse_position_per_step"][0] + out["rmse_strain_per_step"][0]
+        )
     summary = {k: float(np.mean(v)) for k, v in losses.items() if v}
     return outputs, summary
 
@@ -241,6 +253,33 @@ def train(cfg: TrainConfig) -> dict:
         train_step = make_train_multi_step(sim_cfg, stats, cfg, tx, inner)
     else:
         train_step = make_train_step(sim_cfg, stats, cfg, tx)
+    batch_put = None
+    if cfg.data_parallel > 1:
+        # Same DP wiring as the single-scale trainer (train.py): batch
+        # graphs shard over the 'data' mesh axis (StaticGraph pytrees
+        # stack their leaves on the batch axis too), params replicate,
+        # GSPMD inserts the gradient all-reduce. Mirrors the reference
+        # trainer being distributed: multi_scale_train.py:79-287.
+        from sgnn_tpu.parallel import make_dp_train_step, make_mesh
+        from sgnn_tpu.parallel.data_parallel import (
+            make_dp_train_multi_step,
+            shard_batch,
+            shard_stacked_batch,
+        )
+
+        if cfg.batch_size % cfg.data_parallel:
+            raise ValueError(
+                f"batch_size {cfg.batch_size} not divisible by "
+                f"data_parallel {cfg.data_parallel}"
+            )
+        mesh = make_mesh(data=cfg.data_parallel, graph=1)
+        if inner > 1:
+            train_step = make_dp_train_multi_step(train_step, mesh)
+            batch_put = lambda b: shard_stacked_batch(mesh, b)
+        else:
+            train_step = make_dp_train_step(train_step, mesh)
+            batch_put = lambda b: shard_batch(mesh, b)
+        print(f"data-parallel over {cfg.data_parallel} devices")
     jit_rollout = make_jit_rollout(sim_cfg, stats, cfg.inference_mode)
     logger = MetricLogger(
         ckpt_dir, use_wandb=cfg.log, project=cfg.project_name, run_name=cfg.run_name
@@ -263,7 +302,7 @@ def train(cfg: TrainConfig) -> dict:
         from sgnn_tpu.train.train import _stack_host_batches
 
         source = _stack_host_batches(source, inner)
-    prefetch = DevicePrefetcher(source, depth=2)
+    prefetch = DevicePrefetcher(source, depth=2, put=batch_put)
     interrupted = False
     try:
         for device_batch in prefetch:
