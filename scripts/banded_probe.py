@@ -55,14 +55,15 @@ def banded(table, idx, band_rows, tile_rows):
 
 
 def bench(fn, *args, iters=20):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    # dependency-chain via fetching a scalar each iter is too slow through
-    # the tunnel; chain on the output instead
+    # sync via a scalar fetch (block_until_ready is unreliable through the
+    # remote tunnel — CLAUDE.md); never fetch full arrays (the tunnel is
+    # tens of MB/s)
+    sync = jax.jit(lambda o: jnp.sum(o.astype(jnp.float32)))
+    float(sync(fn(*args)))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    float(sync(out))
     return (time.perf_counter() - t0) / iters * 1e3
 
 
@@ -89,17 +90,18 @@ def main():
         )
 
         jp = jax.jit(plain)
-        ref = np.asarray(jp(table, idx))
+        ref = jp(table, idx)  # stays on device; compare there too
         t_plain = bench(jp, table, idx)
         print(f"E={e/1e6:.2f}M rows, w={w_nodes}: plain {t_plain:.2f} ms", flush=True)
 
+        eq = jax.jit(lambda a, b: jnp.all(a == b))
         for tile_nodes in tiles:
             if n_nodes % tile_nodes:
                 continue
             jb = jax.jit(
                 lambda t, i, tn=tile_nodes: banded(t, i, (w_nodes + 1) * k, tn * k)
             )
-            ok = bool(np.array_equal(np.asarray(jb(table, idx)), ref))
+            ok = bool(eq(jb(table, idx), ref))
             t_b = bench(jb, table, idx)
             print(
                 f"  banded(tile={tile_nodes}) {t_b:.2f} ms "
