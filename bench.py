@@ -82,6 +82,11 @@ def main():
         # helps alone (scatters dominate the f32 bwd; see BASELINE.md).
         symmetric_gather=True,
         compute_dtype="bfloat16",
+        # The lattice is x-major sorted, so neighbor index distance is
+        # bounded by one x-column (ny = sqrt(N/4) ~ 34 rows); 64 leaves
+        # headroom. Enables the banded large-table gathers in the
+        # backward reverse-gathers (ops/sym_gather.banded_gather_rows).
+        band_nodes=64,
     )
     stats = NormStats(
         vel_mean=jnp.zeros(2), vel_std=jnp.ones(2),

@@ -57,6 +57,9 @@ def run_one(n_particles, batch):
         input_sequence_length=S, connectivity_radius=0.6, max_neighbors=20,
         neighbor_slots=8, domain=(tuple(extent[0]), tuple(extent[1])),
         symmetric_gather=True, compute_dtype="bfloat16",
+        # lattice is x-major sorted: neighbors are within one x-column
+        # (ny indices) -> banded gathers apply (ops/sym_gather.py)
+        band_nodes=max(int(np.sqrt(n_particles / 4)), 2) + 8,
     )
     stats = NormStats(jnp.zeros(2), jnp.ones(2), jnp.zeros(2), jnp.ones(2))
     cfg = TrainConfig(batch_size=batch, noise_std=0.02, input_sequence_length=S,

@@ -200,6 +200,7 @@ def encode_process_decode_apply_flat(
     use_pallas: Optional[bool] = None,
     rev: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     compute_dtype: Optional[jnp.dtype] = None,
+    band_nodes: Optional[int] = None,
 ) -> jnp.ndarray:
     """Full EPD forward over one flat block-diagonal graph.
 
@@ -212,6 +213,10 @@ def encode_process_decode_apply_flat(
         enabling the gather-based sender-gather VJP (ops/sym_gather.py;
         valid only for symmetric, uncapped graphs).
       compute_dtype: optional low-precision dtype for edge-sized tensors.
+      band_nodes: optional static bound on |sender - receiver| index
+        distance (valid for spatially sorted node orderings) routing the
+        large-table gathers through the banded path (runtime-guarded,
+        exact — ops/sym_gather.banded_gather_rows).
     Returns:
       f32[M, node_out] decoded node outputs.
     """
@@ -232,7 +237,8 @@ def encode_process_decode_apply_flat(
         e = e.astype(compute_dtype)
 
     return _process_decode(
-        params, x, e, senders, maskf, k, use_pallas, rev, compute_dtype
+        params, x, e, senders, maskf, k, use_pallas, rev, compute_dtype,
+        band_nodes=band_nodes,
     )
 
 
@@ -247,6 +253,7 @@ def _process_decode(
     rev: Optional[Tuple[jnp.ndarray, jnp.ndarray]],
     compute_dtype: Optional[jnp.dtype],
     xj0: Optional[jnp.ndarray] = None,  # [M*K, D] layer-0 gathered senders
+    band_nodes: Optional[int] = None,
 ) -> jnp.ndarray:
     """Processor + decoder over encoded latents (shared by both entries)."""
     m = x.shape[0]
@@ -275,7 +282,7 @@ def _process_decode(
             if compute_dtype is not None:
                 proj_j = proj_j.astype(compute_dtype)
             if rev is not None:
-                xj = sym_gather(proj_j, senders, rev[0], rev[1])
+                xj = sym_gather(proj_j, senders, rev[0], rev[1], band_nodes)
             else:
                 xj = proj_j[senders]  # [M*K, H]
 
@@ -354,6 +361,7 @@ def encode_process_decode_apply_flat_fused(
     radius: float,
     use_pallas: Optional[bool] = None,
     compute_dtype: Optional[jnp.dtype] = None,
+    band_nodes: Optional[int] = None,
 ) -> jnp.ndarray:
     """EPD forward with the packed-gather fusion (symmetric graphs only).
 
@@ -389,6 +397,7 @@ def encode_process_decode_apply_flat_fused(
         senders2d,
         mask2d,
         compute_dtype,
+        band_nodes,
     )
 
     # edge features from the gathered sender positions
@@ -417,4 +426,5 @@ def encode_process_decode_apply_flat_fused(
         (rev_pos, rev_ok),
         compute_dtype,
         xj0=xj0,
+        band_nodes=band_nodes,
     )

@@ -19,7 +19,7 @@ next to the five per-layer scatters it eliminates).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -53,8 +53,8 @@ def reverse_edge_positions(
     return rev_pos, rev_ok
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def packed_sym_gather(aux, proj, senders, mask, out_dtype=None):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def packed_sym_gather(aux, proj, senders, mask, out_dtype=None, band_nodes=None):
     """ONE row gather serving three consumers of the same sender indices.
 
     On TPU, XLA's row gather costs ~3 ns/row regardless of row width (up
@@ -78,6 +78,10 @@ def packed_sym_gather(aux, proj, senders, mask, out_dtype=None):
         consumers see the exact values the unfused cast-then-gather path
         produced; the VJP likewise mirrors the unfused path's
         bf16-sum-then-f32-cast cotangent chain.
+      band_nodes: optional static bound on |sender - receiver| (valid for
+        spatially sorted node orderings); routes the large-table gathers
+        (fwd packed gather, bwd reverse-gather) through the banded path
+        (runtime-guarded, exact — see banded_gather_rows).
 
     Returns:
       g_aux: f32[M*K, A] gathered aux columns.
@@ -89,11 +93,11 @@ def packed_sym_gather(aux, proj, senders, mask, out_dtype=None):
     VJP (valid for symmetric, uncapped graphs, same precondition as
     sym_gather): d_proj[v] = sum_k d_xj[rev_pos[v, k]] masked.
     """
-    out, _ = _packed_fwd_impl(aux, proj, senders, mask, out_dtype)
+    out, _ = _packed_fwd_impl(aux, proj, senders, mask, out_dtype, band_nodes)
     return out
 
 
-def _packed_fwd_impl(aux, proj, senders, mask, out_dtype):
+def _packed_fwd_impl(aux, proj, senders, mask, out_dtype, band_nodes):
     m, k = senders.shape
     a = aux.shape[1]
     dt = out_dtype or proj.dtype
@@ -107,7 +111,7 @@ def _packed_fwd_impl(aux, proj, senders, mask, out_dtype):
         axis=1,
     )
     flat_s = senders.reshape(-1)
-    g = table[flat_s]  # [M*K, A + K + H] — the one gather
+    g = _maybe_banded_gather(table, flat_s, band_nodes)  # [M*K, A+K+H]
     g_aux = g[:, :a]
     sos = jax.lax.bitcast_convert_type(g[:, a : a + k], jnp.int32)
     xj = g[:, a + k :].astype(dt)
@@ -122,8 +126,8 @@ def _packed_fwd_impl(aux, proj, senders, mask, out_dtype):
     return (g_aux, xj, rev_pos, rev_ok), (rev_pos, rev_ok, jnp.zeros((0,), proj.dtype))
 
 
-def _packed_sym_gather_fwd(aux, proj, senders, mask, out_dtype):
-    return _packed_fwd_impl(aux, proj, senders, mask, out_dtype)
+def _packed_sym_gather_fwd(aux, proj, senders, mask, out_dtype, band_nodes):
+    return _packed_fwd_impl(aux, proj, senders, mask, out_dtype, band_nodes)
 
 
 # XLA's TPU row-gather cost grows with the TABLE's row count (~1.5 ns/row
@@ -134,16 +138,122 @@ def _packed_sym_gather_fwd(aux, proj, senders, mask, out_dtype):
 _PACK_GATHER_MIN_ROWS = 500_000
 _PACK = 4
 
+# Banded gather engages at table row counts where the plain gather has
+# left the fast (~1.5 ns/row) regime. scripts/banded_probe.py sweep
+# (v5e, bf16 h=64, 20-iter loops incl ~1.4 ms tunnel amortization):
+#   307k rows: plain 2.08 ms -> banded 1.89 (tile 2400 nodes)
+#   2.46M rows: plain 30.8 ms -> banded 9.52-9.56 (tile 4096-12800 nodes)
+# At 307k rows the isolated probe's ~10% win inverts IN CONTEXT (the
+# headline bench measured 26.3 -> 28.6 ms with banded engaged there:
+# the dynamic-slice traffic + cond/scan boundaries cost more than the
+# modest regime gap) — so the threshold sits above it, where the gap is
+# multiples, not percent.
+_BANDED_MIN_ROWS = 450_000
+_BANDED_TILE_ROWS = 32_768
 
-def gather_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """table[idx] for 2D tables, routing huge tables via row-packing.
 
-    Returns table[idx] exactly; for tables with >= ~500k rows the gather
-    runs against a [rows/P, P*H] reshape (P=4) whose per-row cost is far
-    lower, followed by a sub-row select. Requires rows % P == 0 to pack
-    (falls back to the plain gather otherwise).
+def banded_gather_rows(
+    table: jnp.ndarray,
+    idx: jnp.ndarray,
+    band_rows: int,
+    tile_rows: Optional[int] = None,
+) -> jnp.ndarray:
+    """Exact ``table[idx]`` exploiting index BANDEDNESS.
+
+    XLA's TPU row-gather cost per output row grows with the *table's* row
+    count (BASELINE.md capacity sweep: ~1.5 ns/row at 38k rows, 3.4 at
+    307k, 8+ at 614k) — so a gather whose indices are index-local
+    (|idx[i] - i*E/R| <= band_rows, true for spatially sorted node
+    orderings where neighbors are index-near) can run 3x+ faster by
+    scanning over output tiles, dynamic-slicing only the [~tile+2*band]
+    window of the table each tile can touch, and gathering from that
+    small window (which sits back in the fast regime).
+
+    CORRECTNESS CONTRACT: exact iff the band bound holds. Out-of-window
+    indices are clamped into the slice (wrong rows, never OOB), so a
+    violated band corrupts values SILENTLY — callers must pair this
+    with a band guard on the actual indices (the model paths surface
+    `band_violations` through the trainer metrics, mirroring the halo
+    guard). An in-op ``lax.cond`` fallback was tried and REVERTED: at
+    307k nodes it blew the full train step from 278 ms to 1968 ms (the
+    conditional forces materialization + un-fused buffers around every
+    314 MB edge-cotangent operand), i.e. the guard cost 7x more than
+    the optimization saved.
+
+    Args:
+      table: [E, H] rows.
+      idx: integer indices, any shape; flattened to R output rows.
+      band_rows: static bound on |idx[i] - i*E/R|.
+      tile_rows: static output tile size (scan step granularity).
+
+    Returns table[idx] with shape idx.shape + (H,) (exact under the band
+    contract).
+    """
+    e, h = table.shape
+    flat = idx.reshape(-1).astype(jnp.int32)
+    r = flat.shape[0]
+    tile_rows = min(tile_rows or _BANDED_TILE_ROWS, r)
+    n_tiles = -(-r // tile_rows)
+    r_pad = n_tiles * tile_rows
+    # per-tile slice window: covers [start, start + tile span + 2*band]
+    slice_rows = (tile_rows * e) // r + 2 * band_rows + 2
+    slice_rows = -(-slice_rows // 512) * 512
+    # exact int32 forms of i*E//R (i*E overflows int32 at these scales);
+    # every caller has R a multiple of E (reverse-gathers: R == E; sender
+    # gathers: R == E*K) or vice versa
+    if r % e == 0:
+        q = r // e
+        row_to_table = lambda i: i // q
+    elif e % r == 0:
+        q = e // r
+        row_to_table = lambda i: i * q
+    else:
+        return table[flat].reshape(idx.shape + (h,))
+    if slice_rows >= e or n_tiles <= 1:
+        return table[flat].reshape(idx.shape + (h,))
+
+    idx_pad = jnp.pad(flat, (0, r_pad - r))  # pad rows gather row 0 (sliced off)
+
+    def _banded(table, idx_pad):
+        idx_tiles = idx_pad.reshape(n_tiles, tile_rows)
+        starts = jnp.clip(
+            row_to_table(jnp.arange(n_tiles, dtype=jnp.int32) * tile_rows)
+            - band_rows,
+            0,
+            e - slice_rows,
+        )
+
+        def body(_, xs):
+            start, it = xs
+            sub = jax.lax.dynamic_slice(table, (start, 0), (slice_rows, h))
+            # clamp keeps the sub-gather in bounds for pad-row indices
+            # (0, below start of later tiles — sliced off below) and for
+            # band-contract violations (see docstring: silently wrong
+            # there; callers guard via band_violations)
+            return None, sub[jnp.clip(it - start, 0, slice_rows - 1)]
+
+        _, out = jax.lax.scan(body, None, (starts, idx_tiles))
+        return out.reshape(r_pad, h)
+
+    return _banded(table, idx_pad)[:r].reshape(idx.shape + (h,))
+
+
+def gather_rows(
+    table: jnp.ndarray, idx: jnp.ndarray, band_rows: Optional[int] = None
+) -> jnp.ndarray:
+    """table[idx] for 2D tables, routing huge tables via banded tiling
+    or row-packing.
+
+    Returns table[idx] exactly. When ``band_rows`` is given and the table
+    is large enough to have left the fast-gather regime, the banded
+    scan-over-tiles path runs (with its own runtime guard + fallback —
+    see banded_gather_rows). Otherwise, for tables with >= ~500k rows the
+    gather runs against a [rows/P, P*H] reshape (P=4) whose per-row cost
+    is far lower, followed by a sub-row select (requires rows % P == 0).
     """
     rows, h = table.shape
+    if band_rows is not None and rows >= _BANDED_MIN_ROWS:
+        return banded_gather_rows(table, idx, band_rows)
     flat = idx.reshape(-1)
     # Measured window (BASELINE.md capacity sweep): P=4 wins at 614k
     # rows (+24% on the N=76k step) but LOSES at 3M rows (both P=4 and
@@ -183,15 +293,16 @@ def _slot_reduce_dot(x3d: jnp.ndarray, out_dtype) -> jnp.ndarray:
     return out.astype(out_dtype)
 
 
-def _packed_sym_gather_bwd(out_dtype, res, cots):
+def _packed_sym_gather_bwd(out_dtype, band_nodes, res, cots):
     del out_dtype
     rev_pos, rev_ok, proj_sentinel = res
     d_xj = cots[1]
+    band = None if band_nodes is None else (band_nodes + 1) * rev_pos.shape[-1]
     # same reverse-gather transpose as sym_gather, with the masked slot
     # sum as an identity dot (f32 MXU accumulation, no convert pass).
     # The d_xj.dtype hop mirrors the unfused astype-then-sym_gather
     # chain bit-for-bit (pinned by test_fused_packed_gather_path_exact).
-    gathered = gather_rows(d_xj, rev_pos)  # [M, K, H]
+    gathered = gather_rows(d_xj, rev_pos, band)  # [M, K, H]
     masked = gathered * rev_ok[..., None].astype(d_xj.dtype)
     d_proj = _slot_reduce_dot(masked, d_xj.dtype)
     return None, d_proj.astype(proj_sentinel.dtype), None, None
@@ -200,21 +311,60 @@ def _packed_sym_gather_bwd(out_dtype, res, cots):
 packed_sym_gather.defvjp(_packed_sym_gather_fwd, _packed_sym_gather_bwd)
 
 
-@jax.custom_vjp
-def sym_gather(table, idx, rev_pos, rev_mask):
-    """table[idx] whose VJP gathers via the precomputed reverse index."""
-    return table[idx]
+def band_violations(
+    senders: jnp.ndarray,  # int32[..., K] sender indices, receiver-major rows
+    mask: jnp.ndarray,  # bool[..., K]
+    band_nodes: int,
+) -> jnp.ndarray:
+    """Count neighbor-list entries violating the banded-gather contract.
+
+    Returns an int32 scalar: the number of valid edges with
+    |sender - receiver| > band_nodes (receiver = row position along the
+    second-to-last axis). One check covers both banded directions: a
+    zero count implies the forward sender-gather band (band_nodes) AND
+    the reverse-gather band ((band_nodes + 1) * K) both hold, so every
+    banded_gather_rows in the step was exact. Mirrors the edge-partition
+    halo guard: surfaced as a metric, near-free to compute.
+    """
+    k = senders.shape[-1]
+    m = senders.shape[-2]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (m, k), 0)
+    rows = jnp.broadcast_to(rows, senders.shape)
+    dev = jnp.abs(senders - rows)
+    return jnp.sum((dev > band_nodes) & mask).astype(jnp.int32)
 
 
-def _sym_gather_fwd(table, idx, rev_pos, rev_mask):
-    return table[idx], (idx, rev_pos, rev_mask)
+def _maybe_banded_gather(table, idx, band_nodes):
+    """Forward sender gather: banded when the node table is large and the
+    ordering is declared index-local (idx[i] within band_nodes of i//K)."""
+    if band_nodes is not None and table.shape[0] >= _BANDED_MIN_ROWS:
+        return banded_gather_rows(table, idx, band_nodes)
+    return table[idx.reshape(-1)].reshape(idx.shape + (table.shape[-1],))
 
 
-def _sym_gather_bwd(res, cot):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def sym_gather(table, idx, rev_pos, rev_mask, band_nodes=None):
+    """table[idx] whose VJP gathers via the precomputed reverse index.
+
+    band_nodes: optional static bound on |sender - receiver| (valid for
+    spatially sorted node orderings); enables the banded fast path for
+    both the forward sender gather and the backward reverse-gather at
+    large row counts (see banded_gather_rows — runtime-guarded, exact).
+    """
+    return _maybe_banded_gather(table, idx, band_nodes)
+
+
+def _sym_gather_fwd(table, idx, rev_pos, rev_mask, band_nodes):
+    return _maybe_banded_gather(table, idx, band_nodes), (idx, rev_pos, rev_mask)
+
+
+def _sym_gather_bwd(band_nodes, res, cot):
     idx, rev_pos, rev_mask = res
+    k = rev_pos.shape[-1]
+    band = None if band_nodes is None else (band_nodes + 1) * k
     # cot: [E, H]; d_table[v] = sum over v's reverse-edge positions,
     # computed as an identity dot (see _slot_reduce_dot)
-    gathered = gather_rows(cot, rev_pos)  # [R, K, H]
+    gathered = gather_rows(cot, rev_pos, band)  # [R, K, H]
     masked = gathered * rev_mask[..., None].astype(cot.dtype)
     return _slot_reduce_dot(masked, cot.dtype), None, None, None
 

@@ -107,6 +107,19 @@ class SimulatorConfig:
     # Optional static spatial domain enabling the cell-list search path.
     domain: Optional[Tuple[Tuple[float, ...], Tuple[float, ...]]] = None
     neighbor_method: str = "auto"
+    # Banded-gather index-locality bound: max |sender - receiver| node
+    # index distance, valid when the node ordering is spatially sorted
+    # (x-major lattices, edge-partition x-sorted samples). When set,
+    # large-table gathers (per-layer reverse-gathers and forward sender
+    # gathers past ~450k table rows) run the banded scan-over-tiles path
+    # — 3.2x at 2.4M rows, 1.5x whole-step at 307k nodes
+    # (ops/sym_gather.banded_gather_rows). CONTRACT: values are exact
+    # only while the bound holds; forward_batched(return_aux=True)
+    # surfaces `band_violations` (exact, near-free check on the actual
+    # neighbor lists — the trainer logs/warns on it like the halo
+    # guard). An in-op cond fallback was tried and reverted (7x step
+    # regression — see banded_gather_rows). None = off.
+    band_nodes: Optional[int] = None
     # Max occupants read per grid cell in the cell-list searches (cells
     # have side = radius). Cells holding more particles than this
     # silently drop the overflow, so it must be >= the densest cell's
@@ -337,13 +350,21 @@ def forward_batched(
     particle_types: jnp.ndarray,  # [B, N]
     node_mask: Optional[jnp.ndarray] = None,  # [B, N]
     use_pallas: Optional[bool] = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    return_aux: bool = False,
+):
     """Batch forward through the flattened block-diagonal model.
 
     With a configured spatial domain, the radius search itself runs
     batched-flat (ops.neighbors.radius_neighbors_grid_batched) so every
     gather in the step is a fast flat gather; otherwise falls back to a
     vmapped per-graph preprocess.
+
+    With ``return_aux=True`` a third output carries guard metrics:
+    ``{"band_violations": int32}`` — the banded-gather contract check
+    (ops/sym_gather.band_violations; always 0 when cfg.band_nodes is
+    None). Nonzero means the node ordering decayed past the declared
+    band and banded gathers were inexact this step — re-sort the nodes
+    (the banded analogue of the edge-partition halo guard).
     """
     from sgnn_tpu.models.epd_flat import (
         encode_process_decode_apply_flat,
@@ -356,6 +377,17 @@ def forward_batched(
         node_mask = jnp.ones((b, n), bool)
     k = cfg.slots
     rev = None
+
+    def _with_aux(pred, nl_senders, nl_mask):
+        if not return_aux:
+            return pred
+        if cfg.band_nodes is None:
+            viol = jnp.zeros((), jnp.int32)
+        else:
+            from sgnn_tpu.ops.sym_gather import band_violations
+
+            viol = band_violations(nl_senders, nl_mask, cfg.band_nodes)
+        return pred + ({"band_violations": viol},)
 
     if cfg.domain is not None:
         last = position_sequences[..., -1, :]
@@ -391,8 +423,11 @@ def forward_batched(
                 compute_dtype=(
                     jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
                 ),
+                band_nodes=cfg.band_nodes,
             ).reshape(b, n, -1)
-            return pred[..., : cfg.dim], pred[..., -1]
+            return _with_aux(
+                (pred[..., : cfg.dim], pred[..., -1]), senders, nl.mask
+            )
         degrees = jnp.sum(nl.mask, axis=-1, keepdims=True).astype(jnp.float32)
         disp = (flat_last[senders] - flat_last[:, None, :]) / cfg.connectivity_radius
         dist = jnp.linalg.norm(disp, axis=-1, keepdims=True)
@@ -418,8 +453,9 @@ def forward_batched(
         use_pallas,
         rev,
         compute_dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None,
+        band_nodes=cfg.band_nodes,
     ).reshape(b, n, -1)
-    return pred[..., : cfg.dim], pred[..., -1]
+    return _with_aux((pred[..., : cfg.dim], pred[..., -1]), nl.senders, nl.mask)
 
 
 def predict_accelerations_batched(
@@ -432,15 +468,22 @@ def predict_accelerations_batched(
     particle_types: jnp.ndarray,  # [B, N]
     node_mask: Optional[jnp.ndarray] = None,
     use_pallas: Optional[bool] = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Batched training forward (same contract as predict_accelerations)."""
+    return_aux: bool = False,
+):
+    """Batched training forward (same contract as predict_accelerations).
+
+    With return_aux=True, appends forward_batched's guard-metrics dict.
+    """
     noisy = position_sequences + position_sequence_noise
-    pred_acc, pred_strain = forward_batched(
-        params, cfg, stats, noisy, particle_types, node_mask, use_pallas
+    out = forward_batched(
+        params, cfg, stats, noisy, particle_types, node_mask, use_pallas,
+        return_aux=return_aux,
     )
+    pred_acc, pred_strain = out[:2]
     next_adjusted = next_positions + position_sequence_noise[..., -1, :]
     target_acc = inverse_decoder_postprocess(stats, next_adjusted, noisy)
-    return pred_acc, target_acc, pred_strain
+    res = (pred_acc, target_acc, pred_strain)
+    return res + (out[2],) if return_aux else res
 
 
 def predict_positions_flat(

@@ -100,6 +100,10 @@ class TrainConfig:
     # is symmetric. Only profitable together with bf16 (BASELINE.md).
     symmetric_gather: Optional[bool] = None
     compute_dtype: str = "float32"
+    # Banded-gather index-locality bound (SimulatorConfig.band_nodes):
+    # set when the loader/feed keeps nodes spatially sorted; guarded by
+    # the train/band_violations metric. None = off.
+    band_nodes: Optional[int] = None
     # Optimizer steps per device dispatch (lax.scan inner loop,
     # train.make_train_multi_step). >1 amortizes host launch latency;
     # log_every/nsave_steps/ntraining_steps must be multiples of it.

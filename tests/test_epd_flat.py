@@ -251,3 +251,102 @@ def test_gather_rows_packed_equals_plain(rng):
     assert rows >= sg._PACK_GATHER_MIN_ROWS  # packed path engaged
     out = sg.gather_rows(tbl, idx)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(tbl)[np.asarray(idx)])
+
+
+def test_banded_gather_rows_exact(rng):
+    """Banded scan-over-tiles gather == table[idx] under the band
+    contract; violations are caught by the band_violations guard."""
+    from sgnn_tpu.ops.sym_gather import band_violations, banded_gather_rows
+
+    # reverse-gather shape: table rows == output rows (E == R)
+    n, k, w = 3000, 8, 40
+    e = n * k
+    v = np.arange(n)
+    send = np.clip(v[:, None] + rng.integers(-w, w + 1, (n, k)), 0, n - 1)
+    kp = rng.integers(0, k, (n, k))
+    idx = jnp.asarray((send * k + kp).astype(np.int32))
+    tbl = jnp.asarray(rng.normal(size=(e, 16)).astype(np.float32))
+    band = (w + 1) * k
+    fn = jax.jit(lambda t, i: banded_gather_rows(t, i, band, 2048))
+    ref = np.asarray(tbl)[np.asarray(idx)]
+    np.testing.assert_array_equal(np.asarray(fn(tbl, idx)), ref)
+
+    # the guard metric: clean senders -> 0; one out-of-band sender -> 1
+    # (banded_gather_rows itself is only exact under the contract — the
+    # in-op cond fallback was reverted for a 7x step regression)
+    mask = jnp.ones((n, k), bool)
+    senders = jnp.asarray(send.astype(np.int32))
+    assert int(band_violations(senders, mask, w)) == 0
+    bad = senders.at[0, 0].set(n - 1)
+    assert int(band_violations(bad, mask, w)) == 1
+    assert int(band_violations(bad, mask.at[0, 0].set(False), w)) == 0
+
+    # sender-gather shape: output rows == K * table rows, plus a tile
+    # size that does not divide the row count (padding path)
+    tbl_n = jnp.asarray(rng.normal(size=(n, 16)).astype(np.float32))
+    out = jax.jit(lambda t, i: banded_gather_rows(t, i, w, 2048 + 512))(
+        tbl_n, jnp.asarray(send.astype(np.int32))
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out), np.asarray(tbl_n)[send]
+    )
+
+
+def test_sym_gather_band_matches_unbanded(rng, monkeypatch):
+    """sym_gather/packed_sym_gather with band_nodes: outputs and grads
+    bit-equal to the unbanded path (threshold lowered to force the
+    banded route on test-sized tables)."""
+    from sgnn_tpu.ops import sym_gather as sg
+    from sgnn_tpu.ops.sym_gather import reverse_edge_positions
+
+    n, k, h = 512, 8, 16
+    w = 20
+    monkeypatch.setattr(
+        __import__("sgnn_tpu.ops.sym_gather", fromlist=["x"]),
+        "_BANDED_TILE_ROWS",
+        512,
+    )  # force multiple scan tiles at test size
+    pos = np.stack(
+        [np.arange(n) * 0.01, np.zeros(n)], -1
+    ).astype(np.float32)  # x-sorted line: neighbors index-local
+    nl = radius_neighbors_bruteforce(jnp.asarray(pos), 0.035, max_neighbors=k)
+    assert int(np.asarray(nl.mask).sum(1).max()) < k
+    senders, mask = nl.senders, nl.mask
+    rev_pos, rev_ok = reverse_edge_positions(senders, mask)
+    table = jnp.asarray(rng.normal(size=(n, h)).astype(np.float32))
+    idx = senders.reshape(-1)
+    cot = jnp.asarray(rng.normal(size=(n * k, h)).astype(np.float32))
+    cot = cot * mask.reshape(-1, 1)
+
+    def run(band):
+        out = sg.sym_gather(table, idx, rev_pos, rev_ok, band)
+        g = jax.grad(
+            lambda t: jnp.sum(sg.sym_gather(t, idx, rev_pos, rev_ok, band) * cot)
+        )(table)
+        return out, g
+
+    ref_out, ref_g = run(None)
+    monkeypatch.setattr(sg, "_BANDED_MIN_ROWS", 64)
+    out, g = run(w)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref_out))
+    np.testing.assert_array_equal(np.asarray(g), np.asarray(ref_g))
+
+    # packed variant
+    aux = jnp.asarray(pos)
+    proj = table
+
+    def packed(band):
+        g_aux, xj, rp, ro = sg.packed_sym_gather(aux, proj, senders, mask, None, band)
+        gr = jax.grad(
+            lambda p: jnp.sum(
+                sg.packed_sym_gather(aux, p, senders, mask, None, band)[1] * cot
+            )
+        )(proj)
+        return g_aux, xj, rp, ro, gr
+
+    monkeypatch.setattr(sg, "_BANDED_MIN_ROWS", 10**9)
+    ref = packed(None)
+    monkeypatch.setattr(sg, "_BANDED_MIN_ROWS", 64)
+    got = packed(w)
+    for a, b_ in zip(got, ref):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
