@@ -505,6 +505,29 @@ def make_partitioned_train_step(
     the single-device trainer); metric names match the reference wandb
     schema plus `train/halo_violations`.
     """
+    return jax.jit(
+        _make_partitioned_step_body(
+            mesh, cfg, stats, spec, tx,
+            axis=axis, noise_std=noise_std,
+            loss_weight_position=loss_weight_position,
+            loss_weight_strain=loss_weight_strain,
+        )
+    )
+
+
+def _make_partitioned_step_body(
+    mesh: Mesh,
+    cfg: SimulatorConfig,
+    stats: NormStats,
+    spec: PartitionSpec1D,
+    tx,
+    *,
+    axis: str = "graph",
+    noise_std: float = 0.02,
+    loss_weight_position: float = 1.0,
+    loss_weight_strain: float = 1.0,
+):
+    """Unjitted (state, batch, key) -> (state, metrics) partitioned step."""
     import optax
 
     from sgnn_tpu.physics.noise import random_walk_position_noise
@@ -553,7 +576,48 @@ def make_partitioned_train_step(
         }
         return new_state, {"train/loss": loss, **aux}
 
-    return jax.jit(step)
+    return step
+
+
+def make_partitioned_multi_step(
+    mesh: Mesh,
+    cfg: SimulatorConfig,
+    stats: NormStats,
+    spec: PartitionSpec1D,
+    tx,
+    num_steps: int,
+    *,
+    axis: str = "graph",
+    noise_std: float = 0.02,
+    loss_weight_position: float = 1.0,
+    loss_weight_strain: float = 1.0,
+):
+    """``num_steps`` partitioned optimizer steps per dispatch via lax.scan.
+
+    The graph-parallel composition of the trainer's ``inner_steps``
+    idiom (train.make_train_multi_step): batch leaves carry a leading
+    [num_steps] axis (node axis sharded over `axis` as usual); per-step
+    noise keys are fold_in(key, i) and per-step math is identical to
+    make_partitioned_train_step (pinned by tests). Amortizes the ~1 ms
+    host dispatch latency the single-step partitioned trainer pays.
+    """
+    body = _make_partitioned_step_body(
+        mesh, cfg, stats, spec, tx,
+        axis=axis, noise_std=noise_std,
+        loss_weight_position=loss_weight_position,
+        loss_weight_strain=loss_weight_strain,
+    )
+
+    @jax.jit
+    def multi_step(state, batches, key):
+        def scan_body(carry, xs):
+            i, batch = xs
+            return body(carry, batch, jax.random.fold_in(key, i))
+
+        idx = jnp.arange(num_steps, dtype=jnp.uint32)
+        return jax.lax.scan(scan_body, state, (idx, batches))
+
+    return multi_step
 
 
 def make_partitioned_rollout(
@@ -620,6 +684,159 @@ def make_partitioned_rollout(
         }
 
     return jax.jit(run)
+
+
+def make_replanning_rollout(
+    mesh: Mesh,
+    cfg: SimulatorConfig,
+    stats: NormStats,
+    spec: PartitionSpec1D,
+    *,
+    axis: str = "graph",
+    inference_mode: str = "autoregressive",
+):
+    """Distributed rollout that RE-PLANS the partition when the halo
+    guard fires, instead of warning and silently truncating edges.
+
+    Host-driven: one jitted distributed step per rollout frame (window
+    kept device-resident between steps). Whenever a step reports nonzero
+    `_halo_guard` violations, the current window is pulled back to the
+    host, the nodes are re-sorted by their *current* x (a re-plan of the
+    same static spec — slab/halo sizes are compile-time shapes, so only
+    the permutation changes), re-fed, and the step re-runs on the fresh
+    plan. The guard is conservative (it fires whenever a node pair
+    within `radius` in x is not covered by the exchange pattern, a
+    superset of actually-dropped edges), so a step that executes with 0
+    violations computed the exact full-graph edge set — replanned
+    rollouts match the single-device rollout (pinned by
+    tests/test_edge_partition.py::test_replanning_rollout_...).
+
+    All node arrays are accepted and returned in the CALLER's order
+    (sorting is internal). Output = the reference rollout dict
+    (evaluate.py:161-173) plus `halo_violations` [T-S] (residual count
+    per step, after any replan) and `replans` (int).
+    """
+    if inference_mode not in ("autoregressive", "one_step"):
+        raise ValueError(f"Unknown inference_mode: {inference_mode}")
+    from sgnn_tpu.physics.rollout import EROSIONAL_PARTICLE_ID, cumulative_rmse
+
+    fwd = _build_forward(mesh, cfg, stats, spec, axis)
+    s = cfg.input_sequence_length
+    node_sh = NamedSharding(mesh, P(axis))
+    rep_sh = NamedSharding(mesh, P())
+    autoregressive = inference_mode == "autoregressive"
+
+    @functools.partial(jax.jit, out_shardings=(node_sh, node_sh, node_sh, rep_sh))
+    def step_fn(params, window, types, mask, gt_pos, gt_strain):
+        norm_acc, strain, violations = fwd(params, window, types, mask)
+        next_pos = decoder_postprocess(stats, norm_acc, window)
+        erosional = (types == EROSIONAL_PARTICLE_ID)[:, None]
+        next_pos = jnp.where(erosional, gt_pos, next_pos)
+        strain = jnp.where(erosional[:, 0], gt_strain, strain)
+        fill = next_pos if autoregressive else gt_pos
+        new_window = jnp.concatenate([window[:, 1:], fill[:, None, :]], axis=1)
+        return new_window, next_pos, strain, violations
+
+    def run(params, positions, particle_types, strains, node_mask):
+        params = jax.device_put(params, rep_sh)
+        pos = np.asarray(positions)  # [N, T, dim] caller order
+        ty = np.asarray(particle_types)
+        st = np.asarray(strains)  # [T, N]
+        m = np.asarray(node_mask)
+        n_view, total_t = pos.shape[:2]
+        nt = spec.total_nodes
+        idx = np.nonzero(m)[0]
+        k = len(idx)
+        if k > nt:
+            raise ValueError(f"{k} nodes > plan capacity {nt}")
+
+        def plan(frame):  # [N, dim] caller order -> validated sort order
+            order = idx[np.argsort(frame[idx, 0], kind="stable")]
+            need = _halo_needed(
+                frame[order, 0], spec.nodes_per_shard, spec.num_shards,
+                cfg.connectivity_radius,
+            )
+            if need > spec.halo:
+                raise ValueError(
+                    f"re-plan needs halo {need} > spec halo {spec.halo}; "
+                    "the geometry outgrew the static plan — rebuild the "
+                    "spec (dataset_partition_plan) with these frames"
+                )
+            return order
+
+        def sort_pad(a, order, dtype=None):
+            buf = np.zeros((nt, *a.shape[1:]), dtype or a.dtype)
+            buf[: len(order)] = a[order]
+            return buf
+
+        mask_s = np.zeros(nt, bool)
+        mask_s[:k] = True  # sorted layout: real nodes first, padding last
+        order = plan(pos[:, 0])
+        window_h = pos[:, :s].copy()  # [N, S, dim] caller order (host mirror)
+        window_d = jax.device_put(sort_pad(window_h, order), node_sh)
+        ty_d = jax.device_put(sort_pad(ty, order), node_sh)
+        mask_d = jax.device_put(mask_s, node_sh)
+
+        preds = np.zeros((total_t - s, n_view, pos.shape[-1]), pos.dtype)
+        pred_strains = np.zeros((total_t - s, n_view), st.dtype)
+        viols = np.zeros(total_t - s, np.int32)
+        replans = 0
+
+        for t in range(total_t - s):
+            gt_pos_t = pos[:, s + t]
+            gt_strain_t = st[s + t]
+            gp_d = jax.device_put(sort_pad(gt_pos_t, order), node_sh)
+            gs_d = jax.device_put(sort_pad(gt_strain_t, order), node_sh)
+            new_w, next_p, strain, v = step_fn(
+                params, window_d, ty_d, mask_d, gp_d, gs_d
+            )
+            v = int(v)
+            if v:
+                # re-plan from the CURRENT (pre-step) window and re-run
+                w_sorted = np.asarray(window_d)
+                window_h[order] = w_sorted[: len(order)]
+                order = plan(window_h[:, -1])
+                replans += 1
+                window_d = jax.device_put(sort_pad(window_h, order), node_sh)
+                ty_d = jax.device_put(sort_pad(ty, order), node_sh)
+                gp_d = jax.device_put(sort_pad(gt_pos_t, order), node_sh)
+                gs_d = jax.device_put(sort_pad(gt_strain_t, order), node_sh)
+                new_w, next_p, strain, v = step_fn(
+                    params, window_d, ty_d, mask_d, gp_d, gs_d
+                )
+                v = int(v)  # residual violations (spec itself insufficient)
+            window_d = new_w
+            np_next = np.asarray(next_p)
+            np_strain = np.asarray(strain)
+            preds[t, order] = np_next[: len(order)]
+            pred_strains[t, order] = np_strain[: len(order)]
+            viols[t] = v
+
+        gt_positions = np.transpose(pos[:, s:], (1, 0, 2))
+        gt_strains = st[s:]
+        return {
+            "initial_positions": np.transpose(pos[:, :s], (1, 0, 2)),
+            "initial_strains": st[:s],
+            "predicted_rollout": preds,
+            "ground_truth_rollout": gt_positions,
+            "predicted_strain": pred_strains,
+            "ground_truth_strain": gt_strains,
+            "particle_types": ty,
+            "rmse_position": np.asarray(
+                cumulative_rmse(jnp.asarray(preds), jnp.asarray(gt_positions), jnp.asarray(m))
+            ),
+            "rmse_strain": np.asarray(
+                cumulative_rmse(
+                    jnp.asarray(pred_strains)[..., None],
+                    jnp.asarray(gt_strains)[..., None],
+                    jnp.asarray(m),
+                )
+            ),
+            "halo_violations": viols,
+            "replans": replans,
+        }
+
+    return run
 
 
 def partition_sample(

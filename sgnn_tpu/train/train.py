@@ -108,6 +108,7 @@ def simulator_config_from(cfg: TrainConfig, metadata: dict) -> SimulatorConfig:
         symmetric_gather=bool(symmetric),
         compute_dtype=cfg.compute_dtype,
         domain=domain,
+        band_nodes=cfg.band_nodes,
         cell_capacity=cfg.cell_capacity,
     )
 
@@ -131,7 +132,8 @@ def _make_step_body(sim_cfg: SimulatorConfig, stats: NormStats, cfg: TrainConfig
         )
         # Block-diagonal flat batching: fast gathers + fused Pallas edge
         # blocks on TPU (models/epd_flat.py), XLA fallback elsewhere.
-        pred_acc, target_acc, pred_strain = predict_accelerations_batched(
+        banded = sim_cfg.band_nodes is not None
+        out = predict_accelerations_batched(
             params,
             sim_cfg,
             stats,
@@ -140,7 +142,10 @@ def _make_step_body(sim_cfg: SimulatorConfig, stats: NormStats, cfg: TrainConfig
             batch["positions"],
             batch["particle_type"],
             batch["node_mask"],
+            return_aux=banded,
         )
+        pred_acc, target_acc, pred_strain = out[:3]
+        guard_aux = out[3] if banded else {}
         mask = batch["node_mask"].astype(pred_acc.dtype)  # [B, N]
         denom = jnp.maximum(jnp.sum(mask), 1.0)
 
@@ -162,6 +167,11 @@ def _make_step_body(sim_cfg: SimulatorConfig, stats: NormStats, cfg: TrainConfig
         }
         if sim_cfg.dim == 3:
             aux["train/loss-z"] = loss_xy[2]
+        if guard_aux:
+            # banded-gather contract check (sym_gather.band_violations):
+            # nonzero = node ordering decayed past band_nodes, this
+            # step's banded gathers were inexact — re-sort the data
+            aux["train/band_violations"] = guard_aux["band_violations"]
         return loss, aux
 
     def step_body(state, batch, key):
@@ -255,67 +265,31 @@ _NODE_AXIS1_KEYS = (
 
 
 def make_partitioned_host_rollout(mesh, sim_cfg, stats, spec, mode: str):
-    """Distributed rollout with host-side (re)partitioning per trajectory.
+    """Distributed rollout with host-side partitioning AND auto-replan.
 
     Same call signature as make_jit_rollout's product, so evaluate_split
-    works unchanged: nodes are x-sorted into the plan's slabs on the way
-    in and inverse-permuted back to the caller's layout on the way out.
-    Surfaces the per-step halo-violation counter (see edge_partition).
+    works unchanged. Delegates to edge_partition.make_replanning_rollout:
+    nodes are x-sorted into the plan's slabs internally; whenever the
+    on-device halo guard fires the partition is re-planned from the
+    current geometry and the step re-runs — deformation past the static
+    plan costs a re-sort, not silently truncated edges.
     """
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from sgnn_tpu.parallel.edge_partition import make_replanning_rollout
 
-    from sgnn_tpu.parallel.edge_partition import make_partitioned_rollout
-
-    run = make_partitioned_rollout(mesh, sim_cfg, stats, spec, inference_mode=mode)
-    rep = NamedSharding(mesh, P())
+    run = make_replanning_rollout(mesh, sim_cfg, stats, spec, inference_mode=mode)
 
     def _rollout(params, positions, types, strains, node_mask):
-        # restored checkpoints live on one device; the shard_map needs
-        # params replicated over the whole mesh
-        params = jax.device_put(params, rep)
-        pos = np.asarray(positions)
-        ty = np.asarray(types)
-        st = np.asarray(strains)
-        m = np.asarray(node_mask)
-        idx = np.nonzero(m)[0]
-        # sort by frame-0 x: the static plan's halo slack + runtime guard
-        # cover drift over the trajectory
-        order = idx[np.argsort(pos[idx, 0, 0], kind="stable")]
-        nt, k = spec.total_nodes, len(order)
-        pos_s = np.zeros((nt, *pos.shape[1:]), pos.dtype)
-        pos_s[:k] = pos[order]
-        ty_s = np.zeros(nt, ty.dtype)
-        ty_s[:k] = ty[order]
-        st_s = np.zeros((st.shape[0], nt), st.dtype)
-        st_s[:, :k] = st[:, order]
-        m_s = np.zeros(nt, bool)
-        m_s[:k] = True
-        out = run(
-            params, jnp.asarray(pos_s), jnp.asarray(ty_s),
-            jnp.asarray(st_s), jnp.asarray(m_s),
-        )
-        out = {key: np.asarray(v) for key, v in out.items()}
-        n_view = pos.shape[0]
-        fixed = {}
-        for key, v in out.items():
-            if key == "particle_types":
-                buf = np.zeros((n_view, *v.shape[1:]), v.dtype)
-                buf[order] = v[:k]
-                fixed[key] = buf
-            elif key in _NODE_AXIS1_KEYS:
-                buf = np.zeros((v.shape[0], n_view, *v.shape[2:]), v.dtype)
-                buf[:, order] = v[:, :k]
-                fixed[key] = buf
-            else:
-                fixed[key] = v
-        viol = int(fixed["halo_violations"].sum())
+        out = run(params, positions, types, strains, node_mask)
+        if out["replans"]:
+            print(f"  partition re-planned {out['replans']}x during rollout")
+        viol = int(np.sum(out["halo_violations"]))
         if viol:
             print(
-                f"  WARNING: {viol} halo-contract violations during rollout — "
-                "the deforming geometry outgrew the static partition plan; "
-                "re-plan (edge_partition.partition_plan) or reduce graph_parallel"
+                f"  WARNING: {viol} residual halo violations AFTER re-planning "
+                "— the plan's slab/halo sizes are too small for this "
+                "geometry; rebuild the spec with more slack"
             )
-        return fixed
+        return out
 
     return _rollout
 
@@ -406,8 +380,6 @@ def train(cfg: TrainConfig) -> dict:
                 "graph_parallel trains one partitioned graph per step; "
                 "set batch_size: 1"
             )
-        if inner > 1:
-            raise ValueError("inner_steps > 1 with graph_parallel is unsupported")
     if cfg.data_parallel > 1:
         from sgnn_tpu.parallel import make_dp_train_step, make_mesh
         from sgnn_tpu.parallel.data_parallel import (
@@ -436,6 +408,7 @@ def train(cfg: TrainConfig) -> dict:
         from sgnn_tpu.parallel import make_mesh
         from sgnn_tpu.parallel.edge_partition import (
             dataset_partition_plan,
+            make_partitioned_multi_step,
             make_partitioned_train_step,
         )
 
@@ -444,17 +417,33 @@ def train(cfg: TrainConfig) -> dict:
             for pos, _, _ in batcher.trajectories
             for t in (0, pos.shape[0] // 2, pos.shape[0] - 1)
         ]
-        spec = dataset_partition_plan(
-            frames, cfg.graph_parallel, cfg.connection_radius
+        # Plan with a noise margin: training adds random-walk noise to the
+        # positions INSIDE the step (cumulative std noise_std*sqrt(S-1) at
+        # the last frame), so halos sized on clean frames have their
+        # margin eaten and the runtime guard fires spuriously. 4 sigma of
+        # the last-frame walk on each of the two nodes covers it.
+        plan_radius = cfg.connection_radius + 4.0 * cfg.noise_std * float(
+            np.sqrt(max(cfg.input_sequence_length - 1, 1))
         )
+        spec = dataset_partition_plan(frames, cfg.graph_parallel, plan_radius)
         gmesh = make_mesh(data=1, graph=cfg.graph_parallel)
-        train_step = make_partitioned_train_step(
-            gmesh, sim_cfg, stats, spec, tx,
+        part_kw = dict(
             noise_std=cfg.noise_std,
             loss_weight_position=cfg.loss_weight_position,
             loss_weight_strain=cfg.loss_weight_strain,
         )
-        node_shard = NamedSharding(gmesh, P("graph"))
+        if inner > 1:
+            # inner_steps composes with graph_parallel: scan the
+            # partitioned step over stacked batches (node axis 1 sharded)
+            train_step = make_partitioned_multi_step(
+                gmesh, sim_cfg, stats, spec, tx, inner, **part_kw
+            )
+            node_shard = NamedSharding(gmesh, P(None, "graph"))
+        else:
+            train_step = make_partitioned_train_step(
+                gmesh, sim_cfg, stats, spec, tx, **part_kw
+            )
+            node_shard = NamedSharding(gmesh, P("graph"))
         batch_put = lambda b: {
             k: jax.device_put(v, node_shard) for k, v in b.items()
         }
@@ -499,12 +488,15 @@ def train(cfg: TrainConfig) -> dict:
     step = int(state["step"])
     t_last = time.time()
     source = batcher.epochs()
-    if inner > 1:
-        source = _stack_host_batches(source, inner)
     if spec is not None:
+        # partition BEFORE stacking: partition_sample consumes [1, N, ...]
+        # batches and emits flat [N, ...] samples; stacking then yields
+        # [inner, N, ...] leaves (node axis 1) for the scanned step
         from sgnn_tpu.parallel.edge_partition import partition_sample
 
         source = (partition_sample(b, spec) for b in source)
+    if inner > 1:
+        source = _stack_host_batches(source, inner)
     prefetch = DevicePrefetcher(source, depth=2, put=batch_put)
     interrupted = False
     try:
@@ -537,6 +529,12 @@ def train(cfg: TrainConfig) -> dict:
                         "  WARNING: halo-contract violations this step — the "
                         "noisy sample geometry outgrew the static partition "
                         "plan (see edge_partition._halo_guard)"
+                    )
+                if metrics.get("train/band_violations", 0) > 0:
+                    print(
+                        "  WARNING: banded-gather contract violations this "
+                        "step — node ordering decayed past band_nodes; this "
+                        "step's gathers were inexact (sym_gather.band_violations)"
                     )
 
             if step % cfg.nsave_steps == 0 and step > 0:

@@ -345,3 +345,145 @@ def test_dataset_partition_plan_covers_frames():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         dataset_partition_plan([f0, f2], 8, 0.6)
+
+
+def test_partitioned_multi_step_matches_single_steps(mesh):
+    """lax.scan'd partitioned steps (inner_steps x graph_parallel) ==
+    repeated make_partitioned_train_step calls with fold_in keys."""
+    import optax
+    from sgnn_tpu.parallel.edge_partition import (
+        make_partitioned_multi_step,
+        make_partitioned_train_step,
+    )
+
+    cfg, stats, params, seq, n = setup()
+    spec, order = partition_plan(seq[:, -1], 8, cfg.connectivity_radius)
+    seq_sorted = scatter_to_shards(seq, order, spec)
+    rng = np.random.default_rng(9)
+    nxt = seq_sorted[:, -1] + rng.normal(scale=0.01, size=(spec.total_nodes, 2)).astype(np.float32)
+    nstrain = rng.normal(size=(spec.total_nodes,)).astype(np.float32)
+    mask = np.zeros(spec.total_nodes, bool)
+    mask[:n] = True
+    batch = {
+        "positions": jnp.asarray(seq_sorted),
+        "next_position": jnp.asarray(nxt),
+        "next_strain": jnp.asarray(nstrain),
+        "particle_type": jnp.zeros(spec.total_nodes, jnp.int32),
+        "node_mask": jnp.asarray(mask),
+    }
+    tx = optax.adam(1e-3)
+    state = {"params": params, "opt_state": tx.init(params),
+             "step": jnp.asarray(0, jnp.int32)}
+    inner = 3
+    key = jax.random.key(11)
+
+    multi = make_partitioned_multi_step(
+        mesh, cfg, stats, spec, tx, inner, noise_std=1e-3
+    )
+    stacked = jax.tree.map(
+        lambda x: jnp.broadcast_to(x[None], (inner,) + x.shape), batch
+    )
+    m_state, m_metrics = multi(state, stacked, key)
+
+    single = make_partitioned_train_step(mesh, cfg, stats, spec, tx, noise_std=1e-3)
+    s_state = state
+    for i in range(inner):
+        s_state, s_metrics = single(s_state, batch, jax.random.fold_in(key, i))
+        np.testing.assert_allclose(
+            float(m_metrics["train/loss"][i]), float(s_metrics["train/loss"]),
+            rtol=1e-5,
+        )
+    assert int(m_state["step"]) == inner
+    for a, b in zip(jax.tree.leaves(m_state["params"]), jax.tree.leaves(s_state["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-7)
+
+
+def test_replanning_rollout_clean_matches_plain(mesh):
+    """On gently drifting geometry (no violations) the replanning driver
+    reproduces the scan-based distributed rollout and replans zero times."""
+    from sgnn_tpu.parallel.edge_partition import (
+        make_partitioned_rollout,
+        make_replanning_rollout,
+    )
+
+    cfg, stats, params, seq, n = setup(s=5)
+    t_total = 8
+    rng = np.random.default_rng(7)
+    drift = rng.normal(scale=0.003, size=(n, t_total, 2)).cumsum(axis=1).astype(np.float32)
+    traj = seq[:, :1] + drift
+    strains = rng.normal(size=(t_total, n)).astype(np.float32)
+    types = np.zeros(n, np.int32)
+    mask = np.ones(n, bool)
+    spec, order = partition_plan(traj[:, 0], 8, cfg.connectivity_radius)
+
+    run_replan = make_replanning_rollout(mesh, cfg, stats, spec)
+    out = run_replan(params, traj, types, strains, mask)
+    assert out["replans"] == 0
+    assert int(out["halo_violations"].sum()) == 0
+
+    # scan-based twin on the pre-sorted layout
+    traj_sorted = scatter_to_shards(traj, order, spec)
+    strains_sorted = np.zeros((t_total, spec.total_nodes), np.float32)
+    strains_sorted[:, :n] = strains[:, order]
+    mask_s = np.zeros(spec.total_nodes, bool)
+    mask_s[:n] = True
+    plain = make_partitioned_rollout(mesh, cfg, stats, spec)
+    ref = plain(
+        params, jnp.asarray(traj_sorted),
+        jnp.zeros(spec.total_nodes, jnp.int32),
+        jnp.asarray(strains_sorted), jnp.asarray(mask_s),
+    )
+    ref_pred = np.zeros_like(out["predicted_rollout"])
+    ref_pred[:, order] = np.asarray(ref["predicted_rollout"])[:, :n]
+    np.testing.assert_allclose(
+        out["predicted_rollout"], ref_pred, rtol=1e-4, atol=1e-6
+    )
+
+
+def test_replanning_rollout_resolves_deformation(mesh):
+    """A block of (erosional) particles migrates across every slab
+    mid-rollout: the warn-only driver would silently truncate their
+    edges; the replanning driver re-sorts, re-runs, matches the
+    single-device rollout, and reports replans > 0 with zero residual
+    violations (VERDICT r2 #5)."""
+    import dataclasses as dc
+
+    from sgnn_tpu.parallel.edge_partition import make_replanning_rollout
+    from sgnn_tpu.physics.rollout import rollout as rollout_ref
+
+    cfg, stats, params, seq, n = setup(s=5, nx=64, ny=8)
+    t_total = 10
+    s = 5
+    pos0 = seq[:, -1]  # [n, 2]
+    x_min, x_max = pos0[:, 0].min(), pos0[:, 0].max()
+    migrate = pos0[:, 0] < x_min + 4.0  # leftmost block of columns
+    assert 50 < migrate.sum() < n // 2
+
+    traj = np.repeat(pos0[:, None, :], t_total, axis=1).astype(np.float32)
+    shift = np.linspace(0.0, x_max - x_min, t_total, dtype=np.float32)
+    traj[migrate, :, 0] += shift[None, :]  # crosses every slab by the end
+    types = np.where(migrate, -1, 0).astype(np.int32)  # migrators follow gt
+    strains = np.zeros((t_total, n), np.float32)
+    mask = np.ones(n, bool)
+
+    spec, _ = partition_plan(traj[:, 0], 4, cfg.connectivity_radius)
+    # generous halo (but < slab) so post-replan layouts always validate
+    spec = dc.replace(spec, halo=spec.nodes_per_shard // 2)
+
+    run = make_replanning_rollout(mesh, cfg, stats, spec)
+    out = run(params, traj, types, strains, mask)
+    assert out["replans"] > 0
+    assert int(out["halo_violations"].sum()) == 0
+
+    ref = rollout_ref(
+        params, cfg, stats, jnp.asarray(traj), jnp.asarray(types),
+        jnp.asarray(strains), node_mask=jnp.asarray(mask),
+    )
+    np.testing.assert_allclose(
+        out["predicted_rollout"], np.asarray(ref["predicted_rollout"]),
+        rtol=2e-3, atol=5e-4,
+    )
+    np.testing.assert_allclose(
+        out["rmse_position"], np.asarray(ref["rmse_position"]),
+        rtol=2e-3, atol=1e-5,
+    )
