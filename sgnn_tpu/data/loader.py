@@ -127,9 +127,13 @@ class SampleBatcher:
             "node_mask": np.zeros((b, np_), bool),
             "next_position": np.zeros((b, np_, dim), np.float32),
             "next_strain": np.zeros((b, np_), np.float32),
+            # which trajectory each sample came from (consumers with
+            # per-trajectory static state — ms partition plans — key on it)
+            "traj_idx": np.zeros((b,), np.int32),
         }
         for k, sample_i in enumerate(idxs):
             ti, t = self.samples[sample_i]
+            batch["traj_idx"][k] = ti
             pos, types, stress = self.trajectories[ti]
             n = pos.shape[1]
             # [S, n, dim] -> [n, S, dim] (reference transpose, loader :159-160)

@@ -157,6 +157,87 @@ def make_jit_rollout(sim_cfg, stats, mode):
     return _rollout
 
 
+_MS_NODE_AXIS1_KEYS = (
+    "initial_positions",
+    "initial_strains",
+    "predicted_rollout",
+    "ground_truth_rollout",
+    "predicted_strain",
+    "ground_truth_strain",
+)
+
+
+def make_ms_partitioned_host_rollout(mesh, sim_cfg, stats, spec, mode: str):
+    """Distributed ms rollout with host-side partitioning per trajectory.
+
+    Same call signature as make_jit_rollout's product (the loader-attached
+    graph is ignored — the partition plan builds its own sharded edge
+    lists from the trajectory's t=0 positions, pinned to the training
+    spec's slab/halo shapes). No replanning is ever needed: the hierarchy
+    is static, so the exact host plan stays valid for the whole rollout
+    (parallel/ms_partition.py).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from sgnn_tpu.parallel.ms_partition import (
+        make_ms_partitioned_rollout,
+        plan_ms_partition,
+    )
+
+    run = make_ms_partitioned_rollout(mesh, sim_cfg, stats, spec, inference_mode=mode)
+    node_sh = NamedSharding(mesh, P("graph"))
+    rep = NamedSharding(mesh, P())
+
+    def _rollout(params, positions, types, strains, node_mask, graph_unused=None):
+        del graph_unused
+        params = jax.device_put(params, rep)
+        pos = np.asarray(positions)
+        ty = np.asarray(types)
+        st = np.asarray(strains)
+        m = np.asarray(node_mask)
+        idx = np.nonzero(m)[0]
+        _, order_rel, sgraph = plan_ms_partition(
+            sim_cfg.graph_config, pos[idx, 0], spec.num_shards,
+            nodes_per_shard=spec.nodes_per_shard, halo=spec.halo,
+        )
+        order = idx[order_rel]
+        nt, k = spec.total_nodes, len(order)
+        pos_s = np.zeros((nt, *pos.shape[1:]), pos.dtype)
+        pos_s[:k] = pos[order]
+        ty_s = np.zeros(nt, ty.dtype)
+        ty_s[:k] = ty[order]
+        st_s = np.zeros((st.shape[0], nt), st.dtype)
+        st_s[:, :k] = st[:, order]
+        m_s = np.zeros(nt, bool)
+        m_s[:k] = True
+        out = run(
+            params,
+            jax.device_put(pos_s, node_sh),
+            jax.device_put(ty_s, node_sh),
+            # strains are [T, N]: the node axis is axis 1
+            jax.device_put(st_s, NamedSharding(mesh, P(None, "graph"))),
+            jax.device_put(m_s, node_sh),
+            jax.device_put(jax.tree.map(jnp.asarray, sgraph), node_sh),
+        )
+        out = {key: np.asarray(v) for key, v in out.items()}
+        n_view = pos.shape[0]
+        fixed = {}
+        for key, v in out.items():
+            if key == "particle_types":
+                buf = np.zeros((n_view, *v.shape[1:]), v.dtype)
+                buf[order] = v[:k]
+                fixed[key] = buf
+            elif key in _MS_NODE_AXIS1_KEYS:
+                buf = np.zeros((v.shape[0], n_view, *v.shape[2:]), v.dtype)
+                buf[:, order] = v[:, :k]
+                fixed[key] = buf
+            else:
+                fixed[key] = v
+        return fixed
+
+    return _rollout
+
+
 def evaluate_split(params, loader, jit_rollout):
     """Validation statistics over a trajectory loader.
 
@@ -217,20 +298,32 @@ def train(cfg: TrainConfig) -> dict:
         print(f"resumed from {cfg.model_file} at step {int(state['step'])}")
 
     ms_graph_cfg = sim_cfg.graph_config
-    batcher = MultiScaleSampleBatcher(
-        data_dir / "train.npz",
-        cfg.input_sequence_length,
-        cfg.batch_size,
-        ms_cfg=ms_graph_cfg,
-        pad_multiple=cfg.pad_multiple,
-        edge_pad_multiple=cfg.edge_pad_multiple,
-        seed=cfg.seed,
-        dense=cfg.ms_dense,
-        dense_row_advantage=(
-            4.0 if cfg.compute_dtype == "bfloat16" else 2.0
-        ),
-        m2m_traversals=cfg.layers,
-    )
+    if cfg.graph_parallel > 1:
+        # partition plans replace the loader-attached static graphs
+        from sgnn_tpu.data.loader import SampleBatcher
+
+        batcher = SampleBatcher(
+            data_dir / "train.npz",
+            cfg.input_sequence_length,
+            cfg.batch_size,
+            pad_multiple=cfg.pad_multiple,
+            seed=cfg.seed,
+        )
+    else:
+        batcher = MultiScaleSampleBatcher(
+            data_dir / "train.npz",
+            cfg.input_sequence_length,
+            cfg.batch_size,
+            ms_cfg=ms_graph_cfg,
+            pad_multiple=cfg.pad_multiple,
+            edge_pad_multiple=cfg.edge_pad_multiple,
+            seed=cfg.seed,
+            dense=cfg.ms_dense,
+            dense_row_advantage=(
+                4.0 if cfg.compute_dtype == "bfloat16" else 2.0
+            ),
+            m2m_traversals=cfg.layers,
+        )
     valid_loader = MultiScaleTrajectoryLoader(
         data_dir / "valid.npz",
         ms_cfg=ms_graph_cfg,
@@ -280,7 +373,62 @@ def train(cfg: TrainConfig) -> dict:
             train_step = make_dp_train_step(train_step, mesh)
             batch_put = lambda b: shard_batch(mesh, b)
         print(f"data-parallel over {cfg.data_parallel} devices")
-    jit_rollout = make_jit_rollout(sim_cfg, stats, cfg.inference_mode)
+    ms_spec = None
+    if cfg.graph_parallel > 1:
+        # Multi-scale graph-axis partitioning (parallel/ms_partition.py):
+        # slab-shard the full-grid node tensor; the static hierarchy is
+        # planned exactly on the host per trajectory (halo sized by the
+        # coarsest m2m radius), so no runtime guard is needed.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from sgnn_tpu.parallel import make_mesh
+        from sgnn_tpu.parallel.ms_partition import (
+            make_ms_partitioned_train_step,
+            ms_dataset_partition,
+        )
+
+        if cfg.data_parallel > 1:
+            raise ValueError("data_parallel and graph_parallel are mutually exclusive")
+        if cfg.batch_size != 1:
+            raise ValueError("graph_parallel requires batch_size: 1")
+        if inner > 1:
+            raise ValueError(
+                "inner_steps > 1 with multi-scale graph_parallel is not wired yet"
+            )
+        ms_spec, ms_plans = ms_dataset_partition(
+            ms_graph_cfg,
+            [pos[0] for pos, _, _ in batcher.trajectories],
+            cfg.graph_parallel,
+        )
+        gmesh = make_mesh(data=1, graph=cfg.graph_parallel)
+        train_step = make_ms_partitioned_train_step(
+            gmesh, sim_cfg, stats, ms_spec, tx,
+            noise_std=cfg.noise_std,
+            loss_weight_position=cfg.loss_weight_position,
+            loss_weight_strain=cfg.loss_weight_strain,
+        )
+        node_shard = NamedSharding(gmesh, P("graph"))
+        # per-trajectory sharded graphs go to the device once
+        ms_graphs_dev = [
+            jax.device_put(jax.tree.map(jnp.asarray, g), node_shard)
+            for _, g in ms_plans
+        ]
+        ms_orders = [o for o, _ in ms_plans]
+        batch_put = lambda b: {
+            k: (v if k == "graph" else jax.device_put(v, node_shard))
+            for k, v in b.items()
+        }
+        state = jax.device_put(state, NamedSharding(gmesh, P()))
+        print(
+            f"ms graph-parallel: {cfg.graph_parallel} shards x "
+            f"{ms_spec.nodes_per_shard} nodes (halo {ms_spec.halo})"
+        )
+    if ms_spec is not None:
+        jit_rollout = make_ms_partitioned_host_rollout(
+            gmesh, sim_cfg, stats, ms_spec, cfg.inference_mode
+        )
+    else:
+        jit_rollout = make_jit_rollout(sim_cfg, stats, cfg.inference_mode)
     logger = MetricLogger(
         ckpt_dir, use_wandb=cfg.log, project=cfg.project_name, run_name=cfg.run_name
     )
@@ -298,6 +446,17 @@ def train(cfg: TrainConfig) -> dict:
     step = int(state["step"])
     t_last = time.time()
     source = batcher.epochs()
+    if ms_spec is not None:
+        from sgnn_tpu.parallel.ms_partition import ms_partition_sample
+
+        def _partition(gen):
+            for b in gen:
+                ti = int(b["traj_idx"][0])
+                out = ms_partition_sample(b, ms_spec, ms_orders[ti])
+                out["graph"] = ms_graphs_dev[ti]
+                yield out
+
+        source = _partition(source)
     if inner > 1:
         from sgnn_tpu.train.train import _stack_host_batches
 
