@@ -270,6 +270,12 @@ def evaluate_split(params, loader, jit_rollout):
             out["rmse_position_per_step"][0] + out["rmse_strain_per_step"][0]
         )
     summary = {k: float(np.mean(v)) for k, v in losses.items() if v}
+    if outputs:
+        # reference parity: the ms evaluator also reports per-rollout
+        # runtime mean/std (multi_scale_evaluate.py:125-126)
+        times = [o["run_time"] for o in outputs]
+        summary["mean_time"] = float(np.mean(times))
+        summary["std_time"] = float(np.std(times))
     return outputs, summary
 
 
@@ -499,6 +505,8 @@ def train(cfg: TrainConfig) -> dict:
                         "val/loss-strain": summary["strain"],
                         "val/rmse-oneStep": summary["one_step"],
                         "val/runtime": val_stats["elapsed_time"],
+                        "val/mean_time": summary["mean_time"],
+                        "val/std_time": summary["std_time"],
                     },
                     step,
                 )
