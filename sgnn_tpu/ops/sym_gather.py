@@ -23,6 +23,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def reverse_edge_positions(
@@ -144,12 +145,23 @@ _PACK = 4
 #   307k rows: plain 2.08 ms -> banded 1.89 (tile 2400 nodes)
 #   2.46M rows: plain 30.8 ms -> banded 9.52-9.56 (tile 4096-12800 nodes)
 # At 307k rows the isolated probe's ~10% win inverts IN CONTEXT (the
-# headline bench measured 26.3 -> 28.6 ms with banded engaged there:
-# the dynamic-slice traffic + cond/scan boundaries cost more than the
-# modest regime gap) — so the threshold sits above it, where the gap is
-# multiples, not percent.
+# headline bench measured 26.3 -> 28.6 ms with the cond guard, and
+# still 30.3 ms without it: the dynamic-slice traffic costs more than
+# the modest regime gap when output rows == table rows) — so the
+# same-size threshold sits above it, where the gap is multiples, not
+# percent. When the gather FANS OUT (out_rows >> table_rows, the
+# forward sender gathers at K slots/node), each dynamic slice is
+# amortized over K times more output rows, so banded pays off at
+# smaller tables — the ratio rule below.
 _BANDED_MIN_ROWS = 450_000
+_BANDED_MIN_FANOUT_ROWS = 200_000
 _BANDED_TILE_ROWS = 32_768
+
+
+def _banded_worth(table_rows: int, out_rows: int) -> bool:
+    return table_rows >= _BANDED_MIN_ROWS or (
+        table_rows >= _BANDED_MIN_FANOUT_ROWS and out_rows >= 4 * table_rows
+    )
 
 
 def banded_gather_rows(
@@ -252,7 +264,7 @@ def gather_rows(
     is far lower, followed by a sub-row select (requires rows % P == 0).
     """
     rows, h = table.shape
-    if band_rows is not None and rows >= _BANDED_MIN_ROWS:
+    if band_rows is not None and _banded_worth(rows, int(np.prod(idx.shape))):
         return banded_gather_rows(table, idx, band_rows)
     flat = idx.reshape(-1)
     # Measured window (BASELINE.md capacity sweep): P=4 wins at 614k
@@ -337,7 +349,9 @@ def band_violations(
 def _maybe_banded_gather(table, idx, band_nodes):
     """Forward sender gather: banded when the node table is large and the
     ordering is declared index-local (idx[i] within band_nodes of i//K)."""
-    if band_nodes is not None and table.shape[0] >= _BANDED_MIN_ROWS:
+    if band_nodes is not None and _banded_worth(
+        table.shape[0], int(np.prod(idx.shape))
+    ):
         return banded_gather_rows(table, idx, band_nodes)
     return table[idx.reshape(-1)].reshape(idx.shape + (table.shape[-1],))
 
