@@ -427,6 +427,44 @@ def make_ms_partitioned_train_step(
     return jax.jit(step)
 
 
+def make_ms_partitioned_multi_step(
+    mesh: Mesh,
+    cfg: MultiScaleSimulatorConfig,
+    stats: NormStats,
+    spec: PartitionSpec1D,
+    tx,
+    num_steps: int,
+    *,
+    axis: str = "graph",
+    noise_std: float = 0.02,
+    loss_weight_position: float = 1.0,
+    loss_weight_strain: float = 1.0,
+):
+    """``num_steps`` partitioned ms optimizer steps per dispatch
+    (lax.scan) — inner_steps x graph_parallel for the multi-scale family.
+    Batch leaves (INCLUDING the per-sample ShardedMSGraph arrays) carry a
+    leading [num_steps] axis; per-step noise keys are fold_in(key, i);
+    per-step math is pinned equal to single steps by test.
+    """
+    single = make_ms_partitioned_train_step(
+        mesh, cfg, stats, spec, tx,
+        axis=axis, noise_std=noise_std,
+        loss_weight_position=loss_weight_position,
+        loss_weight_strain=loss_weight_strain,
+    )
+
+    @jax.jit
+    def multi_step(state, batches, key):
+        def scan_body(carry, xs):
+            i, batch = xs
+            return single(carry, batch, jax.random.fold_in(key, i))
+
+        idx = jnp.arange(num_steps, dtype=jnp.uint32)
+        return jax.lax.scan(scan_body, state, (idx, batches))
+
+    return multi_step
+
+
 def make_ms_partitioned_rollout(
     mesh: Mesh,
     cfg: MultiScaleSimulatorConfig,

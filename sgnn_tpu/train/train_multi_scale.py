@@ -389,6 +389,7 @@ def train(cfg: TrainConfig) -> dict:
 
         from sgnn_tpu.parallel import make_mesh
         from sgnn_tpu.parallel.ms_partition import (
+            make_ms_partitioned_multi_step,
             make_ms_partitioned_train_step,
             ms_dataset_partition,
         )
@@ -397,33 +398,43 @@ def train(cfg: TrainConfig) -> dict:
             raise ValueError("data_parallel and graph_parallel are mutually exclusive")
         if cfg.batch_size != 1:
             raise ValueError("graph_parallel requires batch_size: 1")
-        if inner > 1:
-            raise ValueError(
-                "inner_steps > 1 with multi-scale graph_parallel is not wired yet"
-            )
         ms_spec, ms_plans = ms_dataset_partition(
             ms_graph_cfg,
             [pos[0] for pos, _, _ in batcher.trajectories],
             cfg.graph_parallel,
         )
         gmesh = make_mesh(data=1, graph=cfg.graph_parallel)
-        train_step = make_ms_partitioned_train_step(
-            gmesh, sim_cfg, stats, ms_spec, tx,
+        part_kw = dict(
             noise_std=cfg.noise_std,
             loss_weight_position=cfg.loss_weight_position,
             loss_weight_strain=cfg.loss_weight_strain,
         )
-        node_shard = NamedSharding(gmesh, P("graph"))
-        # per-trajectory sharded graphs go to the device once
-        ms_graphs_dev = [
-            jax.device_put(jax.tree.map(jnp.asarray, g), node_shard)
-            for _, g in ms_plans
-        ]
         ms_orders = [o for o, _ in ms_plans]
-        batch_put = lambda b: {
-            k: (v if k == "graph" else jax.device_put(v, node_shard))
-            for k, v in b.items()
-        }
+        if inner > 1:
+            # scan over stacked batches: graph leaves stack [inner, P, E]
+            # on the host and shard axis 1 like the node arrays
+            train_step = make_ms_partitioned_multi_step(
+                gmesh, sim_cfg, stats, ms_spec, tx, inner, **part_kw
+            )
+            stacked_shard = NamedSharding(gmesh, P(None, "graph"))
+            ms_graphs_feed = [g for _, g in ms_plans]  # host arrays
+            batch_put = lambda b: jax.tree.map(
+                lambda v: jax.device_put(v, stacked_shard), b
+            )
+        else:
+            train_step = make_ms_partitioned_train_step(
+                gmesh, sim_cfg, stats, ms_spec, tx, **part_kw
+            )
+            node_shard = NamedSharding(gmesh, P("graph"))
+            # per-trajectory sharded graphs go to the device once
+            ms_graphs_feed = [
+                jax.device_put(jax.tree.map(jnp.asarray, g), node_shard)
+                for _, g in ms_plans
+            ]
+            batch_put = lambda b: {
+                k: (v if k == "graph" else jax.device_put(v, node_shard))
+                for k, v in b.items()
+            }
         state = jax.device_put(state, NamedSharding(gmesh, P()))
         print(
             f"ms graph-parallel: {cfg.graph_parallel} shards x "
@@ -459,7 +470,7 @@ def train(cfg: TrainConfig) -> dict:
             for b in gen:
                 ti = int(b["traj_idx"][0])
                 out = ms_partition_sample(b, ms_spec, ms_orders[ti])
-                out["graph"] = ms_graphs_dev[ti]
+                out["graph"] = ms_graphs_feed[ti]
                 yield out
 
         source = _partition(source)

@@ -196,3 +196,47 @@ def test_ms_dataset_partition_common_shapes(rng):
     np.testing.assert_array_equal(
         out["positions"][:n], batch["positions"][0][order]
     )
+
+
+def test_ms_partitioned_multi_step_matches_single_steps(mesh, rng):
+    """inner_steps x graph_parallel for the ms family: scanned steps ==
+    repeated single partitioned steps with fold_in keys."""
+    import optax
+
+    from sgnn_tpu.parallel.ms_partition import make_ms_partitioned_multi_step
+
+    cfg, stats, params, spec, order, sgraph, grid, seq_pad, types, mask, n = _setup(rng)
+    nt = spec.total_nodes
+    nxt = seq_pad[:, -1] + rng.normal(scale=0.01, size=(nt, 2)).astype(np.float32)
+    batch = {
+        "positions": jnp.asarray(seq_pad),
+        "next_position": jnp.asarray(nxt),
+        "next_strain": jnp.asarray(rng.normal(size=(nt,)).astype(np.float32)),
+        "particle_type": jnp.asarray(types),
+        "node_mask": jnp.asarray(mask),
+        "graph": jax.tree.map(jnp.asarray, sgraph),
+    }
+    tx = optax.adam(1e-3)
+    state = {"params": params, "opt_state": tx.init(params),
+             "step": jnp.asarray(0, jnp.int32)}
+    inner = 2
+    key = jax.random.key(21)
+
+    multi = make_ms_partitioned_multi_step(
+        mesh, cfg, stats, spec, tx, inner, noise_std=1e-3
+    )
+    stacked = jax.tree.map(
+        lambda x: jnp.broadcast_to(x[None], (inner,) + x.shape), batch
+    )
+    m_state, m_metrics = multi(state, stacked, key)
+
+    single = make_ms_partitioned_train_step(mesh, cfg, stats, spec, tx, noise_std=1e-3)
+    s_state = state
+    for i in range(inner):
+        s_state, s_metrics = single(s_state, batch, jax.random.fold_in(key, i))
+        np.testing.assert_allclose(
+            float(m_metrics["train/loss"][i]), float(s_metrics["train/loss"]),
+            rtol=1e-5,
+        )
+    for a, b in zip(jax.tree.leaves(m_state["params"]), jax.tree.leaves(s_state["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-7)
