@@ -14,10 +14,10 @@ indices (block-diagonal — no cross-graph edges by construction), so
     (the agg fold in _process_decode, _recv_broadcast_add,
     ops/sym_gather._slot_reduce_dot) instead of convert-materializing
     reduces,
-  * edge tensors are 2D [M*K, D] receiver-major arrays; at wide slot
-    counts (k >= 20) they feed the fused Pallas edge-block kernel
-    (ops/pallas/edge_block.py), while at the production slot widths the
-    XLA pipeline above measures faster,
+  * edge tensors are 2D [M*K, D] receiver-major arrays driven by the
+    XLA pipeline above; the fused Pallas edge-block kernel lives in
+    experimental/edge_block.py (opt-in via use_pallas=True — it loses
+    ~5x at the production slot widths, see its module docstring),
   * the per-edge validity mask derives from prefix-compacted neighbor
     rows (``slot < degree``).
 
@@ -43,7 +43,7 @@ import jax.numpy as jnp
 
 from sgnn_tpu.nn.core import Params, layer_norm_apply, mlp_apply
 from sgnn_tpu.models.encode_process_decode import _mlp_tail, _split_first_layer
-from sgnn_tpu.ops.pallas.edge_block import _tile_receivers, fused_edge_block
+from sgnn_tpu.experimental.edge_block import _tile_receivers, fused_edge_block
 from sgnn_tpu.ops.sym_gather import packed_sym_gather, sym_gather
 
 
@@ -206,9 +206,10 @@ def encode_process_decode_apply_flat(
 
     Args:
       params: encode_process_decode_init layout.
-      use_pallas: True/False force the kernel/XLA edge path; None picks
-        automatically (kernel on TPU at full-width neighbor slots where
-        it measures faster; XLA elsewhere — BASELINE.md r1 entries).
+      use_pallas: True opts into the experimental fused kernel
+        (experimental/edge_block.py); None/False run the XLA edge path
+        (the production path at every slot width — fresh 2026-08-20
+        measurement in the experimental module docstring).
       rev: optional (rev_pos [M, K], rev_ok [M, K]) reverse-edge index
         enabling the gather-based sender-gather VJP (ops/sym_gather.py;
         valid only for symmetric, uncapped graphs).
@@ -264,12 +265,7 @@ def _process_decode(
     degrees = jnp.sum(maskf.reshape(m, k), axis=-1, keepdims=True)
     edge_mlp = params["processor"][0]["edge"]["mlp"] if params["processor"] else None
     if use_pallas is None:
-        use_pallas = (
-            jax.default_backend() == "tpu"
-            and k >= 20
-            and edge_mlp is not None
-            and _pallas_eligible(edge_mlp, m, k, params["encoder"]["node"]["ln"]["scale"].shape[0])
-        )
+        use_pallas = False  # kernel demoted to experimental/ (see above)
 
     # --- processor ----------------------------------------------------------
     for li, step_params in enumerate(params["processor"]):

@@ -54,7 +54,7 @@ def test_flat_matches_vmap_path(rng):
 def test_flat_pallas_interpret_matches(rng, monkeypatch):
     """Force the pallas kernel (interpret mode on CPU) through the flat path."""
     import sgnn_tpu.models.epd_flat as epd_flat
-    import sgnn_tpu.ops.pallas.edge_block as eb
+    import sgnn_tpu.experimental.edge_block as eb
 
     orig = eb.fused_edge_block
     monkeypatch.setattr(

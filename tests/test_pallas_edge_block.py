@@ -6,7 +6,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from sgnn_tpu.ops.pallas.edge_block import (
+from sgnn_tpu.experimental.edge_block import (
     fused_edge_block,
     fused_edge_block_reference,
 )
