@@ -240,3 +240,47 @@ def test_ms_partitioned_multi_step_matches_single_steps(mesh, rng):
         )
     for a, b in zip(jax.tree.leaves(m_state["params"]), jax.tree.leaves(s_state["params"])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-7)
+
+
+def test_ms_partitioned_rollout_matches_single_device(mesh, rng):
+    """Distributed ms rollout (static graph, no replanning needed) ==
+    ms_rollout on the same sorted layout."""
+    from sgnn_tpu.parallel.ms_partition import make_ms_partitioned_rollout
+    from sgnn_tpu.physics.multi_scale_simulator import ms_rollout
+
+    cfg, stats, params, spec, order, sgraph, grid, seq_pad, types, mask, n = _setup(
+        rng, s=4
+    )
+    t_total = 7
+    nt = spec.total_nodes
+    traj = np.zeros((nt, t_total, 2), np.float32)
+    drift = rng.normal(scale=0.003, size=(n, t_total, 2)).cumsum(axis=1).astype(np.float32)
+    traj[:n] = grid[order][:, None, :] + drift
+    strains = np.zeros((t_total, nt), np.float32)
+    strains[:, :n] = rng.normal(size=(t_total, n)).astype(np.float32)
+    types = types.copy()
+    types[3] = -1  # one erosional particle follows ground truth
+
+    sg = build_static_graph(
+        cfg.graph_config, grid[order], g2m_pad=2048, m2m_pad=1024, m2g_pad=2048
+    )
+    ref = ms_rollout(
+        params, cfg, stats, jnp.asarray(traj[:n]), jnp.asarray(types[:n]),
+        jnp.asarray(strains[:, :n]), sg, node_mask=jnp.asarray(mask[:n]),
+    )
+    run = make_ms_partitioned_rollout(mesh, cfg, stats, spec)
+    out = run(
+        params, jnp.asarray(traj), jnp.asarray(types), jnp.asarray(strains),
+        jnp.asarray(mask), jax.tree.map(jnp.asarray, sgraph),
+    )
+    m = mask
+    np.testing.assert_allclose(
+        np.asarray(out["predicted_rollout"])[:, m],
+        np.asarray(ref["predicted_rollout"]),
+        rtol=1e-3, atol=2e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["rmse_position_per_step"]),
+        np.asarray(ref["rmse_position_per_step"]),
+        rtol=1e-3, atol=1e-5,
+    )
