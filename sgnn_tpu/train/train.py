@@ -254,16 +254,6 @@ def evaluate_split(
     return outputs, summary
 
 
-_NODE_AXIS1_KEYS = (
-    "initial_positions",
-    "initial_strains",
-    "predicted_rollout",
-    "ground_truth_rollout",
-    "predicted_strain",
-    "ground_truth_strain",
-)
-
-
 def make_partitioned_host_rollout(mesh, sim_cfg, stats, spec, mode: str):
     """Distributed rollout with host-side partitioning AND auto-replan.
 
