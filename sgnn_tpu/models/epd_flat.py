@@ -88,6 +88,45 @@ def _pallas_eligible(edge_mlp: Params, m: int, k: int, d: int) -> bool:
     return True
 
 
+@jax.custom_vjp
+def _dot_wf32(x, w):
+    """dot(x, w.astype(x.dtype)) whose weight-grad dot emits f32.
+
+    AD's transpose of a bf16-preferred dot computes d_w as a bf16-OUTPUT
+    dot_general contracting the edge dim, which then converts to f32 at
+    the w.astype boundary — i.e. the weight grads round through bf16
+    before the optimizer ever sees them. This wrapper computes d_w with
+    preferred_element_type=f32 directly: strictly more accurate (one
+    rounding removed from a 307k-term accumulation) at zero wall cost
+    (headline bench 25.82 ms vs a 25.88 ms same-session control).
+    scripts/wgrad_probe.py context: ISOLATED, the bf16-out contraction
+    is pathological on v5e (75.5 ms vs 2.07 ms for the f32-out form at
+    bf16 [307k, 64] operands) — in the full step XLA already rewrites
+    it, so the win here is numerics, not time. d_x is AD's exact
+    formulation; for f32 inputs every dot matches AD bit-for-bit (same
+    operands, same preferred type).
+    """
+    dt = x.dtype
+    return jnp.dot(x, w.astype(dt), preferred_element_type=dt)
+
+
+def _dot_wf32_fwd(x, w):
+    return _dot_wf32(x, w), (x, w)
+
+
+def _dot_wf32_bwd(res, g):
+    x, w = res
+    dt = x.dtype
+    d_x = jnp.dot(g, w.astype(dt).T, preferred_element_type=dt)
+    d_w = jax.lax.dot_general(
+        x, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    return d_x, d_w.astype(w.dtype)
+
+
+_dot_wf32.defvjp(_dot_wf32_fwd, _dot_wf32_bwd)
+
+
 def _mlp_tail_in(mlp_params: Params, h: jnp.ndarray) -> jnp.ndarray:
     """_mlp_tail that keeps activations in h's dtype (casts weights).
 
@@ -106,15 +145,9 @@ def _mlp_tail_in(mlp_params: Params, h: jnp.ndarray) -> jnp.ndarray:
     # f32 either way, so forward bits match — but AD's cotangents now stay
     # in dt instead of materializing f32 [M*K, H] intermediates in bwd.
     for layer in layers[1:-1]:
-        x = jax.nn.relu(
-            jnp.dot(x, layer["w"].astype(dt), preferred_element_type=dt)
-            + layer["b"].astype(dt)
-        )
+        x = jax.nn.relu(_dot_wf32(x, layer["w"]) + layer["b"].astype(dt))
     last = layers[-1]
-    return (
-        jnp.dot(x, last["w"].astype(dt), preferred_element_type=dt)
-        + last["b"].astype(dt)
-    )
+    return _dot_wf32(x, last["w"]) + last["b"].astype(dt)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -181,7 +214,7 @@ def _edge_block_xla(
     m = proj_i.shape[0]
     d = e.shape[-1]
     dt = e.dtype
-    h = jnp.dot(e, w_e.astype(dt), preferred_element_type=dt) + xj.astype(dt)
+    h = _dot_wf32(e, w_e) + xj.astype(dt)
     h = _recv_broadcast_add(h, proj_i + b_e, k)
     msg = _mlp_tail_in(params["mlp"], h)
     msg = layer_norm_apply(params["ln"], msg)
@@ -323,7 +356,12 @@ def _process_decode(
             # reshape materialized a repack copy (~0.26 ms/layer). In
             # bf16 mode the products are bf16*bf16 (weights rounded once,
             # same as every edge-MLP dot); f32 mode is a pure
-            # reassociation of the same f32 sums.
+            # reassociation of the same f32 sums. (A custom VJP with the
+            # closed-form transposes — d_msg = broadcast(g @ w_agg^T),
+            # d_w = slotsum(msg)^T @ g — measured ~0.5 ms SLOWER than
+            # AD's 3D-dot transpose: 26.35-26.4 vs 25.88 ms same-session
+            # control; AD's batched dot fuses where the explicit
+            # broadcast + slot-reduce materialize. BASELINE.md r3 notes.)
             w_3d = jnp.broadcast_to(
                 w_agg.astype(msg.dtype)[None], (k,) + w_agg.shape
             )

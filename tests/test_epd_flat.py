@@ -350,3 +350,4 @@ def test_sym_gather_band_matches_unbanded(rng, monkeypatch):
     got = packed(w)
     for a, b_ in zip(got, ref):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
