@@ -118,8 +118,12 @@ def _dot_wf32_bwd(res, g):
     x, w = res
     dt = x.dtype
     d_x = jnp.dot(g, w.astype(dt).T, preferred_element_type=dt)
+    # Contract ALL leading (batch) dims: the ms dense path feeds 3D
+    # [R, K, H] tensors through _mlp_tail_in (models/multi_scale.py),
+    # so d_w must reduce every non-feature axis, not just axis 0.
+    bd = tuple(range(x.ndim - 1))
     d_w = jax.lax.dot_general(
-        x, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        x, g, ((bd, bd), ((), ())), preferred_element_type=jnp.float32
     )
     return d_x, d_w.astype(w.dtype)
 

@@ -351,3 +351,46 @@ def test_sym_gather_band_matches_unbanded(rng, monkeypatch):
     for a, b_ in zip(got, ref):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
 
+
+def test_dot_wf32_grads_match_ad_2d_and_3d():
+    """_dot_wf32's hand-written VJP == AD of the plain dot, any rank.
+
+    Regression for the round-3 snapshot bug: the backward contracted
+    only axis 0 of x, so 3D [R, K, H] inputs (the multi-scale dense
+    path, models/multi_scale.py) produced a 4D weight grad that crashed
+    the optimizer. Shapes must match the param, values must match AD of
+    the un-customized formulation (bit-exact in f32: same dots, same
+    preferred types).
+    """
+    from sgnn_tpu.models.epd_flat import _dot_wf32, _mlp_tail_in
+
+    rng = np.random.default_rng(7)
+    w = jnp.asarray(rng.normal(size=(16, 12)).astype(np.float32))
+    for shape in [(9, 16), (5, 4, 16), (3, 2, 4, 16)]:
+        x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+        cot = jnp.asarray(rng.normal(size=shape[:-1] + (12,)).astype(np.float32))
+
+        def f_custom(xx, ww):
+            return jnp.sum(_dot_wf32(xx, ww) * cot)
+
+        def f_plain(xx, ww):
+            return jnp.sum(
+                jnp.dot(xx, ww.astype(xx.dtype), preferred_element_type=xx.dtype) * cot
+            )
+
+        gx, gw = jax.grad(f_custom, argnums=(0, 1))(x, w)
+        rx, rw = jax.grad(f_plain, argnums=(0, 1))(x, w)
+        assert gw.shape == w.shape
+        assert gx.shape == x.shape
+        np.testing.assert_array_equal(np.asarray(gw), np.asarray(rw))
+        np.testing.assert_array_equal(np.asarray(gx), np.asarray(rx))
+
+    # _mlp_tail_in end-to-end on a 3D input: grad shapes match params
+    from sgnn_tpu.nn.core import mlp_init
+    params = mlp_init(jax.random.key(0), 16, [16], 16)
+    h3 = jnp.asarray(rng.normal(size=(5, 4, 16)).astype(np.float32))
+    g = jax.grad(lambda p: jnp.sum(_mlp_tail_in(p, h3) ** 2))(params)
+    flat_g = jax.tree_util.tree_leaves(g)
+    flat_p = jax.tree_util.tree_leaves(params)
+    for gv, pv in zip(flat_g, flat_p):
+        assert gv.shape == pv.shape
