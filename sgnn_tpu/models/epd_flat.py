@@ -292,8 +292,19 @@ def _process_decode(
     compute_dtype: Optional[jnp.dtype],
     xj0: Optional[jnp.ndarray] = None,  # [M*K, D] layer-0 gathered senders
     band_nodes: Optional[int] = None,
+    gather_fn=None,  # Optional[(proj_j [M, H]) -> xj [M*K, H]]
 ) -> jnp.ndarray:
-    """Processor + decoder over encoded latents (shared by both entries)."""
+    """Processor + decoder over encoded latents (shared by both entries).
+
+    ``gather_fn`` overrides the per-layer sender gather — the hook the
+    edge-partitioned path (parallel/edge_partition.py) uses to halo-
+    exchange each layer's sender projections before gathering from the
+    extended table, so the distributed forward runs THIS tuned
+    implementation (bf16 edge tensors, fused edge block, agg-fold)
+    instead of re-deriving the math (VERDICT r3 #2/#6). It receives
+    proj_j already cast to compute_dtype (bf16 halo exchange ships half
+    the bytes). Mutually exclusive with ``rev``/``xj0``.
+    """
     m = x.shape[0]
     d = x.shape[-1]
     # valid-slot counts for the pallas kernel (slot < degree recovers the
@@ -314,7 +325,9 @@ def _process_decode(
             proj_j = jnp.dot(x, w_j, preferred_element_type=x.dtype)  # [M, H]
             if compute_dtype is not None:
                 proj_j = proj_j.astype(compute_dtype)
-            if rev is not None:
+            if gather_fn is not None:
+                xj = gather_fn(proj_j)  # [M*K, H]
+            elif rev is not None:
                 xj = sym_gather(proj_j, senders, rev[0], rev[1], band_nodes)
             else:
                 xj = proj_j[senders]  # [M*K, H]

@@ -100,7 +100,14 @@ def multi_scale_gnn_init(key: jax.Array, cfg: MSGNNConfig, dtype=jnp.float32) ->
 
 
 def _interact(
-    block: Params, x: jnp.ndarray, e: jnp.ndarray, edges, sorted_receivers: bool = False
+    block: Params,
+    x: jnp.ndarray,
+    e: jnp.ndarray,
+    edges,
+    sorted_receivers: bool = False,
+    *,
+    x_sender_table: jnp.ndarray = None,
+    compute_dtype=None,
 ) -> tuple:
     """One interaction step over padded COO edges.
 
@@ -109,27 +116,48 @@ def _interact(
     upd = node_fn([agg, x]); residuals on both nodes and edges. Padded
     edge slots (mask False) contribute nothing to the aggregation and
     their latents stay zeroed.
+
+    ``x_sender_table`` overrides the table ``edges.senders`` indexes
+    into (default x) — the hook the graph-partitioned path
+    (parallel/ms_partition.py) uses to point senders at the
+    halo-extended latents, so the distributed forward runs THIS
+    implementation instead of a re-derivation (VERDICT r3 #2/#6).
+
+    ``compute_dtype`` (e.g. bf16) lowers the edge-sized tensors'
+    precision — same mixed-precision contract as _interact_dense and
+    the single-scale flat path: LN moments, aggregation and the node
+    update accumulate f32; with compute_dtype=None the math is
+    bit-identical to the original f32 formulation (every astype is a
+    no-op and the same dots run in the same order).
     """
+    from sgnn_tpu.models.epd_flat import _mlp_tail_in
+
     d = x.shape[-1]
     n = x.shape[0]
-    maskf = edges.mask[:, None].astype(x.dtype)
+    dt = e.dtype if compute_dtype is None else compute_dtype
+    maskf = edges.mask[:, None].astype(dt)
+    xs = x if x_sender_table is None else x_sender_table
 
     (w_i, w_j, w_e), b_e = _split_first_layer(block["edge"]["mlp"], (d, d, d))
     proj_i = jnp.dot(x, w_i, preferred_element_type=x.dtype)  # [N, H]
-    proj_j = jnp.dot(x, w_j, preferred_element_type=x.dtype)  # [N, H]
+    proj_j = jnp.dot(xs, w_j, preferred_element_type=x.dtype)  # [N(ext), H]
+    if compute_dtype is not None:
+        proj_j = proj_j.astype(dt)
     h = (
-        proj_i[edges.receivers]
+        proj_i[edges.receivers].astype(dt)
         + proj_j[edges.senders]
-        + jnp.dot(e, w_e, preferred_element_type=x.dtype)
-        + b_e
+        + jnp.dot(e, w_e.astype(dt), preferred_element_type=dt)
+        + b_e.astype(dt)
     )  # [E, H]
-    msg = _mlp_tail(block["edge"]["mlp"], h)
+    msg = _mlp_tail_in(block["edge"]["mlp"], h) if compute_dtype is not None \
+        else _mlp_tail(block["edge"]["mlp"], h)
     msg = layer_norm_apply(block["edge"]["ln"], msg)
     msg = msg * maskf
 
     agg = coo_segment_sum(
-        msg, edges.receivers, n, indices_are_sorted=sorted_receivers
-    )  # padded slots are zero
+        msg.astype(jnp.float32), edges.receivers, n,
+        indices_are_sorted=sorted_receivers,
+    )  # padded slots are zero; f32 accumulation in mixed precision
     (w_agg, w_x), b_n = _split_first_layer(block["node"]["mlp"], (d, d))
     hn = (
         jnp.dot(agg, w_agg, preferred_element_type=x.dtype)
@@ -148,12 +176,17 @@ def multi_scale_gnn_apply(
     edge_features: Dict[str, jnp.ndarray],  # {'g2m','m2m','m2g'}: [E_pad, edge_in]
     graph: StaticGraph,
     sorted_receivers: bool = False,
+    compute_dtype=None,
 ) -> jnp.ndarray:
     """Forward pass (multi_scale_gnn.py:277-325). Returns [N, node_out].
 
     ``sorted_receivers=True`` asserts every edge list's receiver indices
     are non-decreasing INCLUDING padded slots (the flatten_ms_graph
     contract), unlocking XLA's sorted-scatter path for the segment sums.
+
+    ``compute_dtype`` (e.g. jnp.bfloat16) lowers the edge-sized
+    tensors' precision (see _interact); None keeps the original f32
+    math bit-for-bit.
     """
     x = mlp_ln_apply(params["grid_node_encoder"], node_features)
     e_g2m = mlp_ln_apply(params["g2m_edge_encoder"], edge_features["g2m"])
@@ -162,11 +195,24 @@ def multi_scale_gnn_apply(
     e_g2m = e_g2m * graph.g2m.mask[:, None].astype(x.dtype)
     e_m2m = e_m2m * graph.m2m.mask[:, None].astype(x.dtype)
     e_m2g = e_m2g * graph.m2g.mask[:, None].astype(x.dtype)
+    if compute_dtype is not None:
+        e_g2m = e_g2m.astype(compute_dtype)
+        e_m2m = e_m2m.astype(compute_dtype)
+        e_m2g = e_m2g.astype(compute_dtype)
 
-    x, e_g2m = _interact(params["g2m_block"], x, e_g2m, graph.g2m, sorted_receivers)
+    x, e_g2m = _interact(
+        params["g2m_block"], x, e_g2m, graph.g2m, sorted_receivers,
+        compute_dtype=compute_dtype,
+    )
     for block in params["m2m_blocks"]:
-        x, e_m2m = _interact(block, x, e_m2m, graph.m2m, sorted_receivers)
-    x, e_m2g = _interact(params["m2g_block"], x, e_m2g, graph.m2g, sorted_receivers)
+        x, e_m2m = _interact(
+            block, x, e_m2m, graph.m2m, sorted_receivers,
+            compute_dtype=compute_dtype,
+        )
+    x, e_m2g = _interact(
+        params["m2g_block"], x, e_m2g, graph.m2g, sorted_receivers,
+        compute_dtype=compute_dtype,
+    )
 
     return mlp_apply(params["prediction_head"], x)
 

@@ -266,52 +266,45 @@ def _sharded_forward(
     edge_features = jnp.concatenate([disp, dist], axis=-1)
     edge_features = edge_features * e_mask[..., None].astype(edge_features.dtype)
 
-    # --- encode (local) ---------------------------------------------------
+    # --- encode (local) + tuned processor/decoder -------------------------
+    # The processor/decoder run the SAME tuned implementation as the
+    # single-chip flat path (models/epd_flat._process_decode: bf16 edge
+    # tensors, fused edge block, agg-fold, f32-weight-grad dots) — the
+    # only distributed difference is the per-layer sender gather, which
+    # halo-exchanges each layer's sender projections before gathering
+    # from the [N_ext, H] extended table (VERDICT r3 #2/#6: one tuned
+    # implementation instead of a re-derivation).
     from sgnn_tpu.nn.core import layer_norm_apply, mlp_apply
-    from sgnn_tpu.models.encode_process_decode import (
-        _mlp_tail,
-        _split_first_layer,
-    )
+    from sgnn_tpu.models.epd_flat import _process_decode
 
+    k = senders.shape[1]
     epd = params["epd"]
+    compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+    maskf = e_mask.reshape(n_local * k, 1).astype(jnp.float32)
+
     x = layer_norm_apply(
         epd["encoder"]["node"]["ln"], mlp_apply(epd["encoder"]["node"]["mlp"], node_features)
     )
     e = layer_norm_apply(
-        epd["encoder"]["edge"]["ln"], mlp_apply(epd["encoder"]["edge"]["mlp"], edge_features)
+        epd["encoder"]["edge"]["ln"],
+        mlp_apply(epd["encoder"]["edge"]["mlp"], edge_features.reshape(n_local * k, -1)),
     )
-    e = e * e_mask[..., None].astype(e.dtype)
+    e = e * maskf
+    if compute_dtype is not None:
+        e = e.astype(compute_dtype)
 
-    # --- message passing with per-layer halo refresh ----------------------
-    d = x.shape[-1]
-    for step_params in epd["processor"]:
-        x_ext = _halo_exchange(x, halo, axis)  # refresh neighbor latents
-        (w_i, w_j, w_e), b_e = _split_first_layer(step_params["edge"]["mlp"], (d, d, d))
-        proj_i = jnp.dot(x, w_i, preferred_element_type=x.dtype)
-        proj_j_ext = jnp.dot(x_ext, w_j, preferred_element_type=x.dtype)
-        h = (
-            proj_i[:, None, :]
-            + proj_j_ext[senders]
-            + jnp.dot(e, w_e, preferred_element_type=x.dtype)
-            + b_e
-        )
-        msg = _mlp_tail(step_params["edge"]["mlp"], h)
-        msg = layer_norm_apply(step_params["edge"]["ln"], msg)
-        msg = msg * e_mask[..., None].astype(x.dtype)
-        agg = jnp.sum(msg, axis=1)
-        (w_agg, w_x), b_n = _split_first_layer(step_params["node"]["mlp"], (d, d))
-        hn = (
-            jnp.dot(agg, w_agg, preferred_element_type=x.dtype)
-            + jnp.dot(x, w_x, preferred_element_type=x.dtype)
-            + b_n
-        )
-        upd = layer_norm_apply(
-            step_params["node"]["ln"], _mlp_tail(step_params["node"]["mlp"], hn)
-        )
-        x = x + upd
-        e = (e + msg) * e_mask[..., None].astype(x.dtype)
+    senders_flat = senders.reshape(-1)  # ext-space indices
 
-    pred = mlp_apply(epd["decoder"], x)
+    def gather_fn(proj_j):
+        # proj_j arrives already cast to compute_dtype, so the halo
+        # ppermutes ship bf16 strips in mixed-precision mode
+        return _halo_exchange(proj_j, halo, axis)[senders_flat]
+
+    pred = _process_decode(
+        epd, x, e, senders_flat, maskf, k,
+        use_pallas=False, rev=None, compute_dtype=compute_dtype,
+        gather_fn=gather_fn,
+    )
     return pred[:, : cfg.dim], pred[:, -1], violations
 
 
@@ -569,11 +562,32 @@ def _make_partitioned_step_body(
         )
         updates, opt_state = tx.update(grads, state["opt_state"], state["params"])
         params = optax.apply_updates(state["params"], updates)
+        # Halo-guard gate (VERDICT r3 #6): a step whose guard fired
+        # computed gradients on a silently truncated edge set — REJECT
+        # it instead of applying it. The update and optimizer state are
+        # kept only when the contract held; a rejected step is a no-op
+        # on the model (the trainer re-feeds the sample with fresh
+        # noise — same geometry, new tail draw). Branchless jnp.where
+        # keeps the step a single compiled program (no lax.cond
+        # materialization cliffs — see sym_gather's in-op-cond negative
+        # result); the gate's elementwise cost is parameter-sized,
+        # negligible next to the graph compute.
+        ok = aux["train/halo_violations"] == 0
+
+        def keep(new, old):
+            return jnp.where(ok, new, old)
+
+        params = jax.tree.map(keep, params, state["params"])
+        opt_state = jax.tree.map(keep, opt_state, state["opt_state"])
         new_state = {
             "params": params,
             "opt_state": opt_state,
+            # step counts samples processed (host/LR-schedule sync),
+            # including rejected ones — rejection is visible in metrics
             "step": state["step"] + 1,
         }
+        aux = dict(aux)
+        aux["train/halo_rejected"] = (~ok).astype(jnp.int32)
         return new_state, {"train/loss": loss, **aux}
 
     return step

@@ -238,41 +238,23 @@ def _interact_sharded(
     edges,  # per-shard ShardedEdges leaves ([E_pad] arrays)
     halo: int,
     axis: str,
+    compute_dtype=None,
 ) -> tuple:
     """One interaction block on one shard: halo-refresh + local compute.
 
-    Same math as models/multi_scale._interact (reference blocks,
-    multi_scale_gnn.py:66-205): senders read the halo-extended latents,
-    receivers/aggregation/node update are purely local.
+    A thin wrapper over models/multi_scale._interact (ONE tuned
+    implementation, VERDICT r3 #2/#6): the halo-extended latents become
+    the sender table, everything else — receiver projections,
+    aggregation, node update, the mixed-precision contract — is the
+    single-device code path.
     """
-    d = x.shape[-1]
-    n_local = x.shape[0]
-    maskf = edges.mask[:, None].astype(x.dtype)
-    x_ext = _halo_exchange(x, halo, axis)
+    from sgnn_tpu.models.multi_scale import _interact
 
-    (w_i, w_j, w_e), b_e = _split_first_layer(block["edge"]["mlp"], (d, d, d))
-    proj_i = jnp.dot(x, w_i, preferred_element_type=x.dtype)
-    proj_j = jnp.dot(x_ext, w_j, preferred_element_type=x.dtype)
-    h = (
-        proj_i[edges.receivers]
-        + proj_j[edges.senders]
-        + jnp.dot(e, w_e, preferred_element_type=x.dtype)
-        + b_e
+    return _interact(
+        block, x, e, edges, sorted_receivers=True,
+        x_sender_table=_halo_exchange(x, halo, axis),
+        compute_dtype=compute_dtype,
     )
-    msg = _mlp_tail(block["edge"]["mlp"], h)
-    msg = layer_norm_apply(block["edge"]["ln"], msg)
-    msg = msg * maskf
-
-    agg = coo_segment_sum(msg, edges.receivers, n_local, indices_are_sorted=True)
-    (w_agg, w_x), b_n = _split_first_layer(block["node"]["mlp"], (d, d))
-    hn = (
-        jnp.dot(agg, w_agg, preferred_element_type=x.dtype)
-        + jnp.dot(x, w_x, preferred_element_type=x.dtype)
-        + b_n
-    )
-    upd = _mlp_tail(block["node"]["mlp"], hn)
-    upd = layer_norm_apply(block["node"]["ln"], upd)
-    return x + upd, (e + msg) * maskf
 
 
 def _ms_sharded_forward(
@@ -312,13 +294,22 @@ def _ms_sharded_forward(
             gnn["m2g_edge_encoder"], edge_feats(graph.m2g, gc.grid_radius)
         ),
     }
+    cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
     for key in e:
         e[key] = e[key] * getattr(graph, key).mask[:, None].astype(x.dtype)
+        if cd is not None:
+            e[key] = e[key].astype(cd)
 
-    x, e["g2m"] = _interact_sharded(gnn["g2m_block"], x, e["g2m"], graph.g2m, halo, axis)
+    x, e["g2m"] = _interact_sharded(
+        gnn["g2m_block"], x, e["g2m"], graph.g2m, halo, axis, cd
+    )
     for block in gnn["m2m_blocks"]:
-        x, e["m2m"] = _interact_sharded(block, x, e["m2m"], graph.m2m, halo, axis)
-    x, e["m2g"] = _interact_sharded(gnn["m2g_block"], x, e["m2g"], graph.m2g, halo, axis)
+        x, e["m2m"] = _interact_sharded(
+            block, x, e["m2m"], graph.m2m, halo, axis, cd
+        )
+    x, e["m2g"] = _interact_sharded(
+        gnn["m2g_block"], x, e["m2g"], graph.m2g, halo, axis, cd
+    )
 
     pred = mlp_apply(gnn["prediction_head"], x)
     return pred[:, : cfg.dim], pred[:, -1]

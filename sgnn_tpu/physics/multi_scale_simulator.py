@@ -201,7 +201,12 @@ def _forward(params, cfg, stats, position_sequence, particle_types, graph):
             ),
         )
     else:
-        pred = multi_scale_gnn_apply(params["gnn"], node_f, edge_f, graph)
+        pred = multi_scale_gnn_apply(
+            params["gnn"], node_f, edge_f, graph,
+            compute_dtype=(
+                jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+            ),
+        )
     return pred[:, : cfg.dim], pred[:, -1]
 
 
@@ -280,7 +285,10 @@ def ms_forward_batched(
         ).reshape(b, n, -1)
     else:
         pred = multi_scale_gnn_apply(
-            params["gnn"], nf, ef, flat_graph, sorted_receivers=True
+            params["gnn"], nf, ef, flat_graph, sorted_receivers=True,
+            compute_dtype=(
+                jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+            ),
         ).reshape(b, n, -1)
     return pred[..., : cfg.dim], pred[..., -1]
 

@@ -516,9 +516,13 @@ def train(cfg: TrainConfig) -> dict:
                 )
                 if metrics.get("train/halo_violations", 0) > 0:
                     print(
-                        "  WARNING: halo-contract violations this step — the "
+                        "  NOTE: halo-contract violations this step — the "
                         "noisy sample geometry outgrew the static partition "
-                        "plan (see edge_partition._halo_guard)"
+                        "plan; the update was REJECTED in-step (gradients "
+                        "from the truncated edge set never reached the "
+                        "optimizer — train/halo_rejected). Frequent "
+                        "rejections mean the plan's noise margin is too "
+                        "thin: rebuild with a larger halo_slack."
                     )
                 if metrics.get("train/band_violations", 0) > 0:
                     print(

@@ -315,14 +315,29 @@ def test_halo_guard_fires_on_drift(mesh):
         "particle_type": jnp.zeros(spec.total_nodes, jnp.int32),
         "node_mask": jnp.asarray(mask),
     }
-    _, metrics = step(state, batch, jax.random.key(0))
+    new_state, metrics = step(state, batch, jax.random.key(0))
     assert int(metrics["train/halo_violations"]) > 0
+    # r4: a violated step is REJECTED — its gradients were computed on a
+    # truncated edge set, so params and optimizer state must be no-ops
+    assert int(metrics["train/halo_rejected"]) == 1
+    for a, b in zip(jax.tree.leaves(new_state["params"]), jax.tree.leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(
+        jax.tree.leaves(new_state["opt_state"]), jax.tree.leaves(state["opt_state"])
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
-    # pristine geometry stays quiet
+    # pristine geometry stays quiet and the update applies
     batch["positions"] = jnp.asarray(seq_sorted)
     batch["next_position"] = jnp.asarray(seq_sorted[:, -1])
-    _, metrics = step(state, batch, jax.random.key(0))
+    new_state, metrics = step(state, batch, jax.random.key(0))
     assert int(metrics["train/halo_violations"]) == 0
+    assert int(metrics["train/halo_rejected"]) == 0
+    changed = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(new_state["params"]), jax.tree.leaves(params))
+    )
+    assert changed
 
 
 def test_dataset_partition_plan_covers_frames():
@@ -486,4 +501,36 @@ def test_replanning_rollout_resolves_deformation(mesh):
     np.testing.assert_allclose(
         out["rmse_position"], np.asarray(ref["rmse_position"]),
         rtol=2e-3, atol=1e-5,
+    )
+
+
+def test_partitioned_forward_bf16_matches_single_device(mesh):
+    """compute_dtype=bfloat16 through the partitioned path vs the tuned
+    single-device bf16 forward (r4: _sharded_forward now runs
+    epd_flat._process_decode, so the mixed-precision contract is
+    identical; only bf16 fusion boundaries differ across shards)."""
+    import dataclasses
+
+    cfg, stats, params, seq, n = setup()
+    cfg16 = dataclasses.replace(cfg, compute_dtype="bfloat16")
+    spec, order = partition_plan(seq[:, -1], 8, cfg.connectivity_radius)
+
+    seq_sorted = scatter_to_shards(seq, order, spec)
+    types = np.zeros(spec.total_nodes, np.int32)
+    mask = np.zeros(spec.total_nodes, bool)
+    mask[:n] = True
+
+    ref_next, ref_strain = predict_positions(
+        params, cfg16, stats, jnp.asarray(seq_sorted), jnp.asarray(types),
+        jnp.asarray(mask),
+    )
+    fwd = make_partitioned_predict_positions(mesh, cfg16, stats, spec)
+    next_pos, strain = fwd(
+        params, jnp.asarray(seq_sorted), jnp.asarray(types), jnp.asarray(mask)
+    )
+    np.testing.assert_allclose(
+        np.asarray(next_pos)[mask], np.asarray(ref_next)[mask], rtol=0.05, atol=0.02
+    )
+    np.testing.assert_allclose(
+        np.asarray(strain)[mask], np.asarray(ref_strain)[mask], rtol=0.05, atol=0.02
     )

@@ -284,3 +284,34 @@ def test_ms_partitioned_rollout_matches_single_device(mesh, rng):
         np.asarray(ref["rmse_position_per_step"]),
         rtol=1e-3, atol=1e-5,
     )
+
+
+def test_ms_partitioned_forward_bf16_matches_single_device(mesh, rng):
+    """compute_dtype=bfloat16 flows through the sharded path (r4: the
+    partitioned forward runs the consolidated _interact, so mixed
+    precision is the same contract as single-device). Tolerances are
+    bf16-scale: the halo exchange reorders no sums, but XLA fuses the
+    bf16 chains differently across shard boundaries."""
+    import dataclasses
+
+    cfg, stats, params, spec, order, sgraph, grid, seq_pad, types, mask, n = _setup(rng)
+    cfg16 = dataclasses.replace(cfg, compute_dtype="bfloat16")
+
+    sg = build_static_graph(
+        cfg.graph_config, grid[order], g2m_pad=2048, m2m_pad=1024, m2g_pad=2048
+    )
+    ref_acc, ref_strain = _forward(
+        params, cfg16, stats, jnp.asarray(seq_pad[:n]), jnp.asarray(types[:n]), sg
+    )
+
+    fwd = make_ms_partitioned_forward(mesh, cfg16, stats, spec)
+    acc, strain = fwd(
+        params, jnp.asarray(seq_pad), jnp.asarray(types),
+        jax.tree.map(jnp.asarray, sgraph),
+    )
+    np.testing.assert_allclose(
+        np.asarray(acc)[:n], np.asarray(ref_acc), rtol=0.05, atol=0.02
+    )
+    np.testing.assert_allclose(
+        np.asarray(strain)[:n], np.asarray(ref_strain), rtol=0.05, atol=0.02
+    )

@@ -604,3 +604,48 @@ def test_ms_dense_bf16_close_to_f32(rng):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=0.35, atol=0.05
         )
+
+
+def test_ms_coo_bf16_close_to_f32(rng):
+    """COO path with compute_dtype=bf16 (new in r4, via the consolidated
+    _interact): outputs close to f32, grads finite and in-band. With
+    compute_dtype=None the same code path is bit-identical to the
+    pre-consolidation formulation (pinned by test_golden_parity)."""
+    import dataclasses
+
+    s = 4
+    cfg = MultiScaleSimulatorConfig(
+        dim=2, latent_dim=16, num_message_passing_steps=2, num_mlp_layers=2,
+        input_sequence_length=s, num_scales=2, window_size=2,
+    )
+    stats = NormStats(jnp.zeros(2), jnp.ones(2), jnp.zeros(2), jnp.ones(2))
+    params = multi_scale_simulator_init(jax.random.key(0), cfg)
+    grid = square_grid(6)
+    n = len(grid)
+    coo = build_static_graph(cfg.graph_config, grid, g2m_pad=512, m2m_pad=256, m2g_pad=512)
+    coo_b = jax.tree.map(lambda a: jnp.asarray(a)[None], coo)
+    seqs = jnp.asarray(
+        (grid[:, None, :] + rng.normal(scale=0.01, size=(n, s, 2)).cumsum(1))
+        .astype(np.float32)[None]
+    )
+    types = jnp.zeros((1, n), jnp.int32)
+    from sgnn_tpu.physics.multi_scale_simulator import ms_forward_batched
+
+    ref = ms_forward_batched(params, cfg, stats, seqs, types, coo_b)
+    cfg16 = dataclasses.replace(cfg, compute_dtype="bfloat16")
+    got = ms_forward_batched(params, cfg16, stats, seqs, types, coo_b)
+    for a, b in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0.1, atol=0.05)
+
+    def loss(p, c):
+        acc, strain = ms_forward_batched(p, c, stats, seqs, types, coo_b)
+        return jnp.mean(acc**2) + jnp.mean(strain**2)
+
+    g16 = jax.grad(lambda p: loss(p, cfg16))(params)
+    g32 = jax.grad(lambda p: loss(p, cfg))(params)
+    for a, b in zip(jax.tree.leaves(g16), jax.tree.leaves(g32)):
+        assert np.all(np.isfinite(np.asarray(a)))
+        assert a.shape == b.shape
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=0.35, atol=0.05
+        )
