@@ -114,10 +114,15 @@ def run_graph_at(num_shards, n_particles, layers, hidden, s, iters):
     pos = lattice(n_particles)
     n = pos.shape[0]
     lo, hi = pos.min(0) - 1.0, pos.max(0) + 1.0
+    # bf16 edge tensors + the ext-table symmetric-gather VJP flow
+    # through the partitioned forward since r4 (it runs
+    # epd_flat._process_decode with the halo gather hook); banded
+    # gathers stay single-chip machinery (per-shard tables are small).
     sim_cfg = SimulatorConfig(
         dim=2, latent_dim=hidden, num_message_passing_steps=layers,
         input_sequence_length=s, connectivity_radius=0.6, max_neighbors=20,
         neighbor_slots=8, domain=(tuple(lo.tolist()), tuple(hi.tolist())),
+        compute_dtype="bfloat16", symmetric_gather=True,
     )
     stats = NormStats(jnp.zeros(2), jnp.ones(2), jnp.zeros(2), jnp.ones(2))
     params = simulator_init(jax.random.key(0), sim_cfg)
@@ -169,9 +174,92 @@ def run_graph_at(num_shards, n_particles, layers, hidden, s, iters):
     }
 
 
+def run_ms_graph_at(num_shards, n_particles, layers, hidden, s, iters):
+    """Graph-axis-partitioned MULTI-SCALE full train step (strong scaling).
+
+    The ms counterpart of run_graph_at: one static 2-scale hierarchy
+    over a fixed lattice, slab-partitioned with exact host plans
+    (parallel/ms_partition.py). Records the real-TPU anchor the r3
+    verdict flagged as missing.
+    """
+    from sgnn_tpu.parallel.ms_partition import (
+        make_ms_partitioned_train_step,
+        plan_ms_partition,
+    )
+    from sgnn_tpu.physics.multi_scale_simulator import (
+        MultiScaleSimulatorConfig,
+        multi_scale_simulator_init,
+    )
+
+    mesh = make_mesh(data=1, graph=num_shards)
+    rng = np.random.default_rng(0)
+    pos = lattice(n_particles)
+    n = pos.shape[0]
+    sim_cfg = MultiScaleSimulatorConfig(
+        dim=2, latent_dim=hidden, num_message_passing_steps=layers,
+        input_sequence_length=2, num_scales=2, window_size=2,
+        compute_dtype="bfloat16",
+    )
+    stats = NormStats(jnp.zeros(2), jnp.ones(2), jnp.zeros(2), jnp.ones(2))
+    params = multi_scale_simulator_init(jax.random.key(0), sim_cfg)
+    tx = optax.adam(1e-3)
+    spec, order, sgraph = plan_ms_partition(
+        sim_cfg.graph_config, pos, num_shards
+    )
+    s_ms = 2
+    seq = (
+        pos[order][:, None, :]
+        + rng.normal(scale=0.002, size=(n, s_ms, 2)).cumsum(1)
+    ).astype(np.float32)
+    nt = spec.total_nodes
+    seq_p = np.zeros((nt, s_ms, 2), np.float32)
+    seq_p[:n] = seq
+    mask = np.zeros(nt, bool)
+    mask[:n] = True
+    counts = {
+        t: int(getattr(sgraph, t).mask.sum()) for t in ("g2m", "m2m", "m2g")
+    }
+    batch = {
+        "positions": jnp.asarray(seq_p),
+        "next_position": jnp.asarray(seq_p[:, -1] + 0.01),
+        "next_strain": jnp.zeros((nt,), jnp.float32),
+        "particle_type": jnp.zeros((nt,), jnp.int32),
+        "node_mask": jnp.asarray(mask),
+        "graph": jax.tree.map(jnp.asarray, sgraph),
+    }
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    node_shard = NamedSharding(mesh, P("graph"))
+    batch = {k: jax.tree.map(lambda v: jax.device_put(v, node_shard), v)
+             if k == "graph" else jax.device_put(v, node_shard)
+             for k, v in batch.items()}
+    state = {"params": params, "opt_state": tx.init(params),
+             "step": jnp.asarray(0, jnp.int32)}
+    state = jax.device_put(state, NamedSharding(mesh, P()))
+    step = make_ms_partitioned_train_step(mesh, sim_cfg, stats, spec, tx,
+                                          noise_std=0.001)
+    key = jax.random.key(1)
+    state, m = step(state, batch, key)
+    jax.block_until_ready(m)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step(state, batch, key)
+    jax.block_until_ready(m)
+    dt = (time.perf_counter() - t0) / iters
+    updates = counts["g2m"] + counts["m2g"] + counts["m2m"] * layers
+    return {
+        "shards": num_shards,
+        "nodes": n,
+        "halo": spec.halo,
+        "edges": counts,
+        "step_time_ms": round(dt * 1e3, 2),
+        "edges_per_s": round(updates / dt, 1),
+    }
+
+
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--mode", choices=["dp", "graph"], default="dp")
+    p.add_argument("--mode", choices=["dp", "graph", "ms_graph"], default="dp")
     p.add_argument("--batch-per-device", type=int, default=2)
     p.add_argument("--particles", type=int, default=1024)
     p.add_argument("--layers", type=int, default=5)
@@ -187,6 +275,9 @@ def main():
         if args.mode == "graph":
             r = run_graph_at(c, args.particles, args.layers, args.hidden,
                              args.seq, args.iters)
+        elif args.mode == "ms_graph":
+            r = run_ms_graph_at(c, args.particles, args.layers, args.hidden,
+                                args.seq, args.iters)
         else:
             r = run_at(c, args.batch_per_device, args.particles, args.layers,
                        args.hidden, args.seq, args.iters)

@@ -35,7 +35,6 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from sgnn_tpu.models.encode_process_decode import encode_process_decode_apply
 from sgnn_tpu.nn.core import Params
 from sgnn_tpu.ops.neighbors import radius_neighbors_bruteforce
 from sgnn_tpu.physics.simulator import (
@@ -295,10 +294,37 @@ def _sharded_forward(
 
     senders_flat = senders.reshape(-1)  # ext-space indices
 
+    rev = None
+    if cfg.symmetric_gather:
+        # Scatter-free sender-gather VJP in the sharded setting (the
+        # single-chip path's 71->56 ms lever, ops/sym_gather.py): the
+        # radius graph is symmetric, so the edges where ext row v is the
+        # SENDER are the reverses of v's own incoming edges. Build the
+        # reverse index over the FULL ext row set (nl_ext covers halo
+        # rows too), then keep only reverses that land in the local
+        # edge table — contributions from edges owned by neighbor
+        # shards flow back through the halo exchange's AD transpose
+        # (ppermute inverse + add), so the total d_proj is exact.
+        # Same precondition as single-chip: max degree <= slots.
+        from sgnn_tpu.ops.sym_gather import reverse_edge_positions
+
+        rev_pos_ext, rev_ok_ext = reverse_edge_positions(
+            nl_ext.senders, nl_ext.mask
+        )
+        lo = halo * k
+        hi = (halo + n_local) * k
+        rev_ok = rev_ok_ext & (rev_pos_ext >= lo) & (rev_pos_ext < hi)
+        rev = (jnp.where(rev_ok, rev_pos_ext - lo, 0), rev_ok)
+
     def gather_fn(proj_j):
         # proj_j arrives already cast to compute_dtype, so the halo
         # ppermutes ship bf16 strips in mixed-precision mode
-        return _halo_exchange(proj_j, halo, axis)[senders_flat]
+        ext = _halo_exchange(proj_j, halo, axis)
+        if rev is None:
+            return ext[senders_flat]
+        from sgnn_tpu.ops.sym_gather import sym_gather
+
+        return sym_gather(ext, senders_flat, rev[0], rev[1])
 
     pred = _process_decode(
         epd, x, e, senders_flat, maskf, k,

@@ -34,11 +34,9 @@ from typing import Dict, NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
-from sgnn_tpu.models.encode_process_decode import _mlp_tail, _split_first_layer
-from sgnn_tpu.nn.core import Params, layer_norm_apply, mlp_apply, mlp_ln_apply
-from sgnn_tpu.ops.segment import coo_segment_sum
+from sgnn_tpu.nn.core import Params, mlp_apply, mlp_ln_apply
 from sgnn_tpu.parallel.edge_partition import PartitionSpec1D, _halo_exchange
 from sgnn_tpu.physics.multi_scale_graph import MultiScaleConfig, create_all_edges
 from sgnn_tpu.physics.multi_scale_simulator import (

@@ -534,3 +534,38 @@ def test_partitioned_forward_bf16_matches_single_device(mesh):
     np.testing.assert_allclose(
         np.asarray(strain)[mask], np.asarray(ref_strain)[mask], rtol=0.05, atol=0.02
     )
+
+
+def test_partitioned_symmetric_gather_grads_match(mesh):
+    """symmetric_gather=True routes the sharded sender-gather VJP through
+    the ext-table reverse index (scatter-free); gradients must equal the
+    plain scatter-add path AND the single-device reference. Boundary
+    contributions (reverses owned by neighbor shards) flow back through
+    the halo-exchange transpose — this test's 8-shard split exercises
+    those paths on every interior boundary."""
+    import dataclasses
+
+    cfg, stats, params, seq, n = setup()
+    cfg_sym = dataclasses.replace(cfg, symmetric_gather=True)
+    spec, order = partition_plan(seq[:, -1], 8, cfg.connectivity_radius)
+    seq_sorted = scatter_to_shards(seq, order, spec)
+    rng = np.random.default_rng(1)
+    noise = rng.normal(scale=1e-3, size=seq_sorted.shape).astype(np.float32)
+    nxt = seq_sorted[:, -1] + rng.normal(scale=0.01, size=(spec.total_nodes, 2)).astype(np.float32)
+    nstrain = rng.normal(size=(spec.total_nodes,)).astype(np.float32)
+    types = np.zeros(spec.total_nodes, np.int32)
+    mask = np.zeros(spec.total_nodes, bool)
+    mask[:n] = True
+    args = (
+        jnp.asarray(seq_sorted), jnp.asarray(noise), jnp.asarray(nxt),
+        jnp.asarray(nstrain), jnp.asarray(types), jnp.asarray(mask),
+    )
+
+    loss_plain = make_partitioned_loss(mesh, cfg, stats, spec)
+    loss_sym = make_partitioned_loss(mesh, cfg_sym, stats, spec)
+    l0, g0 = jax.value_and_grad(lambda p: loss_plain(p, *args))(params)
+    l1, g1 = jax.value_and_grad(lambda p: loss_sym(p, *args))(params)
+    # forward identical (the rev index only changes the VJP)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g0)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6)
