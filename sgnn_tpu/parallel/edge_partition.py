@@ -173,6 +173,15 @@ def scatter_to_shards(arr: np.ndarray, order: np.ndarray, spec: PartitionSpec1D)
     return arr
 
 
+# Sharded symmetric-gather VJP crossover (real-TPU v5e, r4 anchors):
+# the ext-table reverse-index build amortizes at >=~19k local rows
+# (14.6 ms/step there, ~90% of headline edges/s) but LOSES ~3.5 ms at
+# 4.8k local rows where the scatter it replaces is cheap. Below this
+# threshold the plain scatter-add VJP runs even when
+# cfg.symmetric_gather is set.
+_SYM_MIN_LOCAL_ROWS = 12_288
+
+
 def _halo_exchange(x_local: jnp.ndarray, halo: int, axis: str) -> jnp.ndarray:
     """Return ext = concat([left_halo, x_local, right_halo], axis=0).
 
@@ -295,7 +304,7 @@ def _sharded_forward(
     senders_flat = senders.reshape(-1)  # ext-space indices
 
     rev = None
-    if cfg.symmetric_gather:
+    if cfg.symmetric_gather and n_local >= _SYM_MIN_LOCAL_ROWS:
         # Scatter-free sender-gather VJP in the sharded setting (the
         # single-chip path's 71->56 ms lever, ops/sym_gather.py): the
         # radius graph is symmetric, so the edges where ext row v is the

@@ -536,7 +536,7 @@ def test_partitioned_forward_bf16_matches_single_device(mesh):
     )
 
 
-def test_partitioned_symmetric_gather_grads_match(mesh):
+def test_partitioned_symmetric_gather_grads_match(mesh, monkeypatch):
     """symmetric_gather=True routes the sharded sender-gather VJP through
     the ext-table reverse index (scatter-free); gradients must equal the
     plain scatter-add path AND the single-device reference. Boundary
@@ -545,6 +545,9 @@ def test_partitioned_symmetric_gather_grads_match(mesh):
     those paths on every interior boundary."""
     import dataclasses
 
+    from sgnn_tpu.parallel import edge_partition as ep
+
+    monkeypatch.setattr(ep, "_SYM_MIN_LOCAL_ROWS", 0)  # engage at test size
     cfg, stats, params, seq, n = setup()
     cfg_sym = dataclasses.replace(cfg, symmetric_gather=True)
     spec, order = partition_plan(seq[:, -1], 8, cfg.connectivity_radius)
