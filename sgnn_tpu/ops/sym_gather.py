@@ -138,14 +138,6 @@ def _packed_sym_gather_fwd(aux, proj, senders, mask, out_dtype, band_nodes):
 # cuts table rows Px for one extra select pass over the gathered block.
 _PACK_GATHER_MIN_ROWS = 500_000
 _PACK = 4
-# Fan-out variant (r4): when out_rows >> table_rows (the fwd sender
-# gathers at cliff scale: 307k-row node table, 2.45M output rows), the
-# per-output-row cost is set by the TABLE's regime, so packing pays at
-# smaller tables than the same-size rule — the select pass costs one
-# streamed read of the P-wide gathered block, amortized over the P-fold
-# per-row saving on EVERY output row.
-_PACK_FANOUT_MIN_ROWS = 250_000
-_PACK_FANOUT_RATIO = 4
 
 # Banded gather engages at table row counts where the plain gather has
 # left the fast (~1.5 ns/row) regime. scripts/banded_probe.py sweep
@@ -272,8 +264,7 @@ def gather_rows(
     is far lower, followed by a sub-row select (requires rows % P == 0).
     """
     rows, h = table.shape
-    out_rows = int(np.prod(idx.shape))
-    if band_rows is not None and _banded_worth(rows, out_rows):
+    if band_rows is not None and _banded_worth(rows, int(np.prod(idx.shape))):
         return banded_gather_rows(table, idx, band_rows)
     flat = idx.reshape(-1)
     # Measured window (BASELINE.md capacity sweep): P=4 wins at 614k
@@ -281,10 +272,8 @@ def gather_rows(
     # P=8 — the packed table is still in the slow-gather regime there
     # and the select/repack overhead is pure cost), so packing engages
     # only up to 1.2M rows, i.e. while the P=4 packed view stays under
-    # ~300k rows. Fan-out gathers (out >> table) engage earlier — see
-    # _PACK_FANOUT_MIN_ROWS.
-    fanout = rows >= _PACK_FANOUT_MIN_ROWS and out_rows >= _PACK_FANOUT_RATIO * rows
-    pack = _PACK if (_PACK_GATHER_MIN_ROWS <= rows <= 1_200_000 or fanout) else 1
+    # ~300k rows.
+    pack = _PACK if _PACK_GATHER_MIN_ROWS <= rows <= 1_200_000 else 1
     if pack == 1 or rows % pack:
         out = table[flat]
     else:
@@ -358,15 +347,13 @@ def band_violations(
 
 
 def _maybe_banded_gather(table, idx, band_nodes):
-    """Forward sender gather: banded when the node table is in the
-    slow same-size regime (>= _BANDED_MIN_ROWS) and the ordering is
-    declared index-local; otherwise gather_rows, whose r4 fan-out rule
-    row-packs mid-size tables with large fan-out (the 307k-node fwd
-    gathers) — r3 measured the banded fan-out clause neutral-to-worse
-    for these (281.9 vs 278.4 ms), so packing gets precedence there."""
-    if band_nodes is not None and table.shape[0] >= _BANDED_MIN_ROWS:
+    """Forward sender gather: banded when the node table is large and the
+    ordering is declared index-local (idx[i] within band_nodes of i//K)."""
+    if band_nodes is not None and _banded_worth(
+        table.shape[0], int(np.prod(idx.shape))
+    ):
         return banded_gather_rows(table, idx, band_nodes)
-    return gather_rows(table, idx)
+    return table[idx.reshape(-1)].reshape(idx.shape + (table.shape[-1],))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))

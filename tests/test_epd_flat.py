@@ -253,23 +253,6 @@ def test_gather_rows_packed_equals_plain(rng):
     np.testing.assert_array_equal(np.asarray(out), np.asarray(tbl)[np.asarray(idx)])
 
 
-def test_gather_rows_fanout_packed_equals_plain(rng, monkeypatch):
-    """The r4 fan-out packing rule (mid-size table, out >> table rows)
-    returns exactly table[idx], and _maybe_banded_gather routes the
-    fan-out case through it (banded reserved for the same-size slow
-    regime)."""
-    from sgnn_tpu.ops import sym_gather as sg
-
-    rows, h = 1024, 8
-    monkeypatch.setattr(sg, "_PACK_FANOUT_MIN_ROWS", 512)
-    tbl = jnp.asarray(rng.normal(size=(rows, h)).astype(np.float32))
-    idx = jnp.asarray(rng.integers(0, rows, (rows * 5,)), jnp.int32)
-    out = sg.gather_rows(tbl, idx)
-    np.testing.assert_array_equal(np.asarray(out), np.asarray(tbl)[np.asarray(idx)])
-    out2 = sg._maybe_banded_gather(tbl, idx, band_nodes=8)
-    np.testing.assert_array_equal(np.asarray(out2), np.asarray(tbl)[np.asarray(idx)])
-
-
 def test_banded_gather_rows_exact(rng):
     """Banded scan-over-tiles gather == table[idx] under the band
     contract; violations are caught by the band_violations guard."""
