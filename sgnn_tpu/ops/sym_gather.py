@@ -156,9 +156,19 @@ _PACK = 4
 _BANDED_MIN_ROWS = 450_000
 _BANDED_MIN_FANOUT_ROWS = 200_000
 _BANDED_TILE_ROWS = 32_768
+# Compiler ceiling, not a perf rule (r4): banded gathers on tables
+# past ~4M rows deterministically crash this environment's remote TPU
+# compile helper (HTTP 500, subprocess exit 1; bisected at 614k nodes
+# — the 4.9M-row bwd reverse tables fail while the 614k-row fwd tables
+# compile fine, any tile size). Above the ceiling the plain gather
+# runs: slower (the slow per-row regime) but compiles. Revisit when
+# the toolchain moves.
+_BANDED_MAX_ROWS = 4_000_000
 
 
 def _banded_worth(table_rows: int, out_rows: int) -> bool:
+    if table_rows > _BANDED_MAX_ROWS:
+        return False
     return table_rows >= _BANDED_MIN_ROWS or (
         table_rows >= _BANDED_MIN_FANOUT_ROWS and out_rows >= 4 * table_rows
     )
