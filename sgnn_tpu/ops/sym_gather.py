@@ -156,19 +156,18 @@ _PACK = 4
 _BANDED_MIN_ROWS = 450_000
 _BANDED_MIN_FANOUT_ROWS = 200_000
 _BANDED_TILE_ROWS = 32_768
-# Compiler ceiling, not a perf rule (r4): banded gathers on tables
-# past ~4M rows deterministically crash this environment's remote TPU
+# Compiler ceiling (r4): SINGLE-LEVEL banded gathers on tables past
+# ~4M rows deterministically crash this environment's remote TPU
 # compile helper (HTTP 500, subprocess exit 1; bisected at 614k nodes
-# — the 4.9M-row bwd reverse tables fail while the 614k-row fwd tables
-# compile fine, any tile size). Above the ceiling the plain gather
-# runs: slower (the slow per-row regime) but compiles. Revisit when
-# the toolchain moves.
-_BANDED_MAX_ROWS = 4_000_000
+# — the 4.9M-row bwd reverse tables fail at any tile size while the
+# 614k-row fwd tables compile fine; the 2.45M-row 307k case compiles).
+# banded_gather_rows therefore splits bigger tables into static window
+# slices of <= this many rows (the proven-to-compile shape) and runs
+# the banded core per chunk — same band contract, same result.
+_BANDED_MAX_ROWS = 2_400_000
 
 
 def _banded_worth(table_rows: int, out_rows: int) -> bool:
-    if table_rows > _BANDED_MAX_ROWS:
-        return False
     return table_rows >= _BANDED_MIN_ROWS or (
         table_rows >= _BANDED_MIN_FANOUT_ROWS and out_rows >= 4 * table_rows
     )
@@ -214,11 +213,9 @@ def banded_gather_rows(
     e, h = table.shape
     flat = idx.reshape(-1).astype(jnp.int32)
     r = flat.shape[0]
-    tile_rows = min(tile_rows or _BANDED_TILE_ROWS, r)
-    n_tiles = -(-r // tile_rows)
-    r_pad = n_tiles * tile_rows
+    tr = min(tile_rows or _BANDED_TILE_ROWS, r)
     # per-tile slice window: covers [start, start + tile span + 2*band]
-    slice_rows = (tile_rows * e) // r + 2 * band_rows + 2
+    slice_rows = (tr * e) // r + 2 * band_rows + 2
     slice_rows = -(-slice_rows // 512) * 512
     # exact int32 forms of i*E//R (i*E overflows int32 at these scales);
     # every caller has R a multiple of E (reverse-gathers: R == E; sender
@@ -231,23 +228,34 @@ def banded_gather_rows(
         row_to_table = lambda i: i * q
     else:
         return table[flat].reshape(idx.shape + (h,))
-    if slice_rows >= e or n_tiles <= 1:
+    if slice_rows >= e:
         return table[flat].reshape(idx.shape + (h,))
 
-    idx_pad = jnp.pad(flat, (0, r_pad - r))  # pad rows gather row 0 (sliced off)
+    def _core(sub_table, sub_flat, out_base, table_base):
+        """Banded scan over one contiguous output chunk.
 
-    def _banded(table, idx_pad):
-        idx_tiles = idx_pad.reshape(n_tiles, tile_rows)
+        Local output row i maps to global output out_base + i; its
+        expected table row, LOCAL to sub_table, is
+        row_to_table(out_base + i) - table_base.
+        """
+        e_s, r_s = sub_table.shape[0], sub_flat.shape[0]
+        n_tiles = -(-r_s // tr)
+        r_pad = n_tiles * tr
+        if slice_rows >= e_s or n_tiles <= 1:
+            return sub_table[jnp.clip(sub_flat, 0, e_s - 1)]
+        idx_pad = jnp.pad(sub_flat, (0, r_pad - r_s))  # pad rows gather 0
+        idx_tiles = idx_pad.reshape(n_tiles, tr)
         starts = jnp.clip(
-            row_to_table(jnp.arange(n_tiles, dtype=jnp.int32) * tile_rows)
+            row_to_table(out_base + jnp.arange(n_tiles, dtype=jnp.int32) * tr)
+            - table_base
             - band_rows,
             0,
-            e - slice_rows,
+            e_s - slice_rows,
         )
 
         def body(_, xs):
             start, it = xs
-            sub = jax.lax.dynamic_slice(table, (start, 0), (slice_rows, h))
+            sub = jax.lax.dynamic_slice(sub_table, (start, 0), (slice_rows, h))
             # clamp keeps the sub-gather in bounds for pad-row indices
             # (0, below start of later tiles — sliced off below) and for
             # band-contract violations (see docstring: silently wrong
@@ -255,9 +263,31 @@ def banded_gather_rows(
             return None, sub[jnp.clip(it - start, 0, slice_rows - 1)]
 
         _, out = jax.lax.scan(body, None, (starts, idx_tiles))
-        return out.reshape(r_pad, h)
+        return out.reshape(r_pad, h)[:r_s]
 
-    return _banded(table, idx_pad)[:r].reshape(idx.shape + (h,))
+    if e <= _BANDED_MAX_ROWS:
+        return _core(table, flat, 0, 0).reshape(idx.shape + (h,))
+
+    # Chunked two-level form (r4): tables past the ~4M-row compiler
+    # ceiling are split into static window slices of <= _BANDED_MAX_ROWS
+    # rows (plus band overlap), each handled by the proven-to-compile
+    # single-level core. Exact under the same band contract: output
+    # chunk [lo, hi) can only touch table rows within band of
+    # row_to_table([lo, hi)), which the window covers by construction.
+    n_chunks = -(-e // _BANDED_MAX_ROWS)
+    per_out = -(-r // n_chunks)
+    per_out = -(-per_out // tr) * tr  # tile-aligned chunk boundaries
+    parts = []
+    lo = 0
+    while lo < r:
+        hi = min(r, lo + per_out)
+        t_lo = max(0, int(row_to_table(lo)) - band_rows)
+        t_hi = min(e, int(row_to_table(hi - 1)) + band_rows + 2)
+        sub = jax.lax.slice_in_dim(table, t_lo, t_hi)
+        sub_idx = flat[lo:hi] - t_lo
+        parts.append(_core(sub, sub_idx, lo, t_lo))
+        lo = hi
+    return jnp.concatenate(parts, axis=0).reshape(idx.shape + (h,))
 
 
 def gather_rows(

@@ -253,6 +253,41 @@ def test_gather_rows_packed_equals_plain(rng):
     np.testing.assert_array_equal(np.asarray(out), np.asarray(tbl)[np.asarray(idx)])
 
 
+def test_banded_gather_rows_chunked_exact(rng, monkeypatch):
+    """The two-level (chunked) banded form — tables past the compiler
+    ceiling split into window slices — returns exactly table[idx] under
+    the band contract, in both caller geometries (r == e reverse
+    gathers; r == e*K fan-out sender gathers) including ragged final
+    chunks and chunk-boundary band overlap."""
+    from sgnn_tpu.ops import sym_gather as sg
+
+    monkeypatch.setattr(sg, "_BANDED_MAX_ROWS", 600)
+    monkeypatch.setattr(sg, "_BANDED_TILE_ROWS", 64)
+    band = 7
+    h = 5
+    # r == e case (reverse-gather geometry), ragged r
+    e = 2000
+    tbl = jnp.asarray(rng.normal(size=(e, h)).astype(np.float32))
+    base = np.arange(e)
+    idx = np.clip(base + rng.integers(-band, band + 1, e), 0, e - 1)
+    out = sg.banded_gather_rows(tbl, jnp.asarray(idx, jnp.int32), band)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(tbl)[idx])
+
+    # r == e*K case (fan-out sender-gather geometry)
+    k = 4
+    base2 = np.repeat(np.arange(e), k)
+    idx2 = np.clip(base2 + rng.integers(-band, band + 1, e * k), 0, e - 1)
+    out2 = sg.banded_gather_rows(tbl, jnp.asarray(idx2, jnp.int32), band)
+    np.testing.assert_array_equal(np.asarray(out2), np.asarray(tbl)[idx2])
+
+    # e == r*q case (table larger than outputs)
+    r3 = 500
+    base3 = np.arange(r3) * (e // r3)
+    idx3 = np.clip(base3 + rng.integers(-band, band + 1, r3), 0, e - 1)
+    out3 = sg.banded_gather_rows(tbl, jnp.asarray(idx3, jnp.int32), band)
+    np.testing.assert_array_equal(np.asarray(out3), np.asarray(tbl)[idx3])
+
+
 def test_banded_gather_rows_exact(rng):
     """Banded scan-over-tiles gather == table[idx] under the band
     contract; violations are caught by the band_violations guard."""
