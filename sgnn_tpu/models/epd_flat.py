@@ -238,6 +238,7 @@ def encode_process_decode_apply_flat(
     rev: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     compute_dtype: Optional[jnp.dtype] = None,
     band_nodes: Optional[int] = None,
+    remat: bool = False,
 ) -> jnp.ndarray:
     """Full EPD forward over one flat block-diagonal graph.
 
@@ -276,7 +277,7 @@ def encode_process_decode_apply_flat(
 
     return _process_decode(
         params, x, e, senders, maskf, k, use_pallas, rev, compute_dtype,
-        band_nodes=band_nodes,
+        band_nodes=band_nodes, remat=remat,
     )
 
 
@@ -293,6 +294,7 @@ def _process_decode(
     xj0: Optional[jnp.ndarray] = None,  # [M*K, D] layer-0 gathered senders
     band_nodes: Optional[int] = None,
     gather_fn=None,  # Optional[(proj_j [M, H]) -> xj [M*K, H]]
+    remat: bool = False,
 ) -> jnp.ndarray:
     """Processor + decoder over encoded latents (shared by both entries).
 
@@ -316,11 +318,11 @@ def _process_decode(
         use_pallas = False  # kernel demoted to experimental/ (see above)
 
     # --- processor ----------------------------------------------------------
-    for li, step_params in enumerate(params["processor"]):
+    def _layer(step_params, x, e, xj0_l):
         (w_i, w_j, w_e), b_e = _split_first_layer(step_params["edge"]["mlp"], (d, d, d))
         proj_i = jnp.dot(x, w_i, preferred_element_type=x.dtype)  # [M, H]
-        if li == 0 and xj0 is not None:
-            xj = xj0  # packed gather already produced layer 0's senders
+        if xj0_l is not None:
+            xj = xj0_l  # packed gather already produced layer 0's senders
         else:
             proj_j = jnp.dot(x, w_j, preferred_element_type=x.dtype)  # [M, H]
             if compute_dtype is not None:
@@ -397,7 +399,16 @@ def _process_decode(
         )
         upd = _mlp_tail(step_params["node"]["mlp"], hn)
         upd = layer_norm_apply(step_params["node"]["ln"], upd)
-        x = x + upd
+        return x + upd, e
+
+    # remat=True checkpoints each layer: the backward recomputes the
+    # layer's edge tensors instead of holding ~2 [M*K, H] residual sets
+    # per layer. Measured SLOWER at headline scale (38.3 -> 40.8 ms,
+    # r1) but it is what fits the 614k+ capacity points in HBM (the
+    # un-rematerialized 614k train step ResourceExhausts a 16 GB v5e).
+    layer_fn = jax.checkpoint(_layer) if remat else _layer
+    for li, step_params in enumerate(params["processor"]):
+        x, e = layer_fn(step_params, x, e, xj0 if li == 0 else None)
 
     # --- decoder (graph_network.py:321-322): node MLP, no LayerNorm --------
     return mlp_apply(params["decoder"], x)
@@ -413,6 +424,7 @@ def encode_process_decode_apply_flat_fused(
     use_pallas: Optional[bool] = None,
     compute_dtype: Optional[jnp.dtype] = None,
     band_nodes: Optional[int] = None,
+    remat: bool = False,
 ) -> jnp.ndarray:
     """EPD forward with the packed-gather fusion (symmetric graphs only).
 
@@ -478,4 +490,5 @@ def encode_process_decode_apply_flat_fused(
         compute_dtype,
         xj0=xj0,
         band_nodes=band_nodes,
+        remat=remat,
     )

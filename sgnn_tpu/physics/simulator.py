@@ -129,6 +129,12 @@ class SimulatorConfig:
     # batched, and the per-shard edge-partitioned forward — reads this
     # one knob, so distributed and single-device runs always agree.
     cell_capacity: int = 8
+    # Rematerialize each processor layer in the backward (jax.checkpoint)
+    # instead of holding its edge-sized residuals. ~6% slower at headline
+    # scale (r1: 38.3 -> 40.8 ms) but the difference between running and
+    # ResourceExhausted at 614k+ nodes (the un-rematerialized train step
+    # holds ~2 [M*K, H] residual sets per layer). Capacity-scale knob.
+    remat: bool = False
 
     @property
     def slots(self) -> int:
@@ -424,6 +430,7 @@ def forward_batched(
                     jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
                 ),
                 band_nodes=cfg.band_nodes,
+                remat=cfg.remat,
             ).reshape(b, n, -1)
             return _with_aux(
                 (pred[..., : cfg.dim], pred[..., -1]), senders, nl.mask
@@ -454,6 +461,7 @@ def forward_batched(
         rev,
         compute_dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None,
         band_nodes=cfg.band_nodes,
+        remat=cfg.remat,
     ).reshape(b, n, -1)
     return _with_aux((pred[..., : cfg.dim], pred[..., -1]), nl.senders, nl.mask)
 
