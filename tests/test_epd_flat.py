@@ -429,3 +429,33 @@ def test_dot_wf32_grads_match_ad_2d_and_3d():
     flat_p = jax.tree_util.tree_leaves(params)
     for gv, pv in zip(flat_g, flat_p):
         assert gv.shape == pv.shape
+
+
+def test_remat_matches_plain(rng):
+    """remat=True (per-layer jax.checkpoint) changes memory, not math:
+    outputs bit-equal, grads equal to AD of the plain path."""
+    from sgnn_tpu.models.epd_flat import encode_process_decode_apply_flat
+
+    b, n, k = 2, 40, 8
+    cfg = EPDConfig(node_in=7, edge_in=3, node_out=3, latent_dim=16,
+                    num_message_passing_steps=3, num_mlp_layers=2)
+    params = encode_process_decode_init(jax.random.key(0), cfg)
+    pos, senders, mask = make_batch(rng, b=b, n=n, k=k)
+    nf = jnp.asarray(rng.normal(size=(b * n, cfg.node_in)).astype(np.float32))
+    ef = jnp.asarray(rng.normal(size=(b * n * k, cfg.edge_in)).astype(np.float32))
+    senders_flat, degrees = flatten_batch_graph(senders, mask, n)
+
+    def run(p, remat):
+        return encode_process_decode_apply_flat(
+            p, nf, ef, senders_flat, degrees, k, use_pallas=False,
+            remat=remat,
+        )
+
+    ref = run(params, False)
+    got = run(params, True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    g_ref = jax.grad(lambda p: jnp.sum(run(p, False) ** 2))(params)
+    g_got = jax.grad(lambda p: jnp.sum(run(p, True) ** 2))(params)
+    for a, b_ in zip(jax.tree.leaves(g_got), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-6, atol=1e-7)
