@@ -39,6 +39,7 @@ import functools
 from typing import Optional, Tuple
 
 import jax
+import jax.ad_checkpoint
 import jax.numpy as jnp
 
 from sgnn_tpu.nn.core import Params, layer_norm_apply, mlp_apply
@@ -333,6 +334,11 @@ def _process_decode(
                 xj = sym_gather(proj_j, senders, rev[0], rev[1], band_nodes)
             else:
                 xj = proj_j[senders]  # [M*K, H]
+            # named for the remat policy: the gather is the one layer
+            # stage worth its residual bytes (recomputing it in bwd
+            # costs a second banded/large-table gather; recomputing the
+            # MXU dots around it is near-free)
+            xj = jax.ad_checkpoint.checkpoint_name(xj, "xj")
 
         if use_pallas and len(step_params["edge"]["mlp"]["layers"]) == 2:
             w2 = step_params["edge"]["mlp"]["layers"][1]
@@ -406,7 +412,18 @@ def _process_decode(
     # per layer. Measured SLOWER at headline scale (38.3 -> 40.8 ms,
     # r1) but it is what fits the 614k+ capacity points in HBM (the
     # un-rematerialized 614k train step ResourceExhausts a 16 GB v5e).
-    layer_fn = jax.checkpoint(_layer) if remat else _layer
+    # The save-xj policy keeps the gathered sender tensor (recomputing
+    # it would repeat the layer's banded/large-table gather in bwd —
+    # 614k: 808.9 ms full remat vs the policy's number in BASELINE.md);
+    # everything else (MXU dots, LN, masks) recomputes.
+    layer_fn = (
+        jax.checkpoint(
+            _layer,
+            policy=jax.checkpoint_policies.save_only_these_names("xj"),
+        )
+        if remat
+        else _layer
+    )
     for li, step_params in enumerate(params["processor"]):
         x, e = layer_fn(step_params, x, e, xj0 if li == 0 else None)
 
