@@ -104,6 +104,10 @@ class TrainConfig:
     # set when the loader/feed keeps nodes spatially sorted; guarded by
     # the train/band_violations metric. None = off.
     band_nodes: Optional[int] = None
+    # Rematerialize processor layers in the backward
+    # (SimulatorConfig.remat): ~6% slower per step but required to fit
+    # 500k+-node graphs in HBM. Off by default.
+    remat: bool = False
     # Optimizer steps per device dispatch (lax.scan inner loop,
     # train.make_train_multi_step). >1 amortizes host launch latency;
     # log_every/nsave_steps/ntraining_steps must be multiples of it.

@@ -110,6 +110,7 @@ def simulator_config_from(cfg: TrainConfig, metadata: dict) -> SimulatorConfig:
         domain=domain,
         band_nodes=cfg.band_nodes,
         cell_capacity=cfg.cell_capacity,
+        remat=cfg.remat,
     )
 
 
