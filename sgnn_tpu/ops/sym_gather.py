@@ -163,8 +163,11 @@ _BANDED_TILE_ROWS = 32_768
 # 614k-row fwd tables compile fine; the 2.45M-row 307k case compiles).
 # banded_gather_rows therefore splits bigger tables into static window
 # slices of <= this many rows (the proven-to-compile shape) and runs
-# the banded core per chunk — same band contract, same result.
-_BANDED_MAX_ROWS = 2_400_000
+# the banded core per chunk — same band contract, same result. The
+# ceiling sits just ABOVE the 307k-node reverse tables (2,456,064
+# rows, the largest single-level shape proven to compile AND the r3
+# measured-fast path) so that case stays single-level.
+_BANDED_MAX_ROWS = 2_500_000
 
 
 def _banded_worth(table_rows: int, out_rows: int) -> bool:
