@@ -457,10 +457,9 @@ def static_window_gather(
     n_tiles = tile_starts.shape[0]
     tile = -(-r // n_tiles)
     w = min(window_rows, e)
-    if w >= e or n_tiles <= 1:
+    if w >= e or n_tiles <= 1 or tile * n_tiles != r:
         return table[flat].reshape(idx.shape + (h,))
-    pad = n_tiles * tile - r
-    idx_tiles = jnp.pad(flat, (0, pad)).reshape(n_tiles, tile)
+    idx_tiles = flat.reshape(n_tiles, tile)
     starts = jnp.clip(tile_starts.astype(jnp.int32), 0, e - w)
 
     def body(_, xs):
@@ -469,7 +468,7 @@ def static_window_gather(
         return None, sub[jnp.clip(it - start, 0, w - 1)]
 
     _, out = jax.lax.scan(body, None, (starts, idx_tiles))
-    return out.reshape(n_tiles * tile, h)[:r].reshape(idx.shape + (h,))
+    return out.reshape(r, h).reshape(idx.shape + (h,))
 
 
 def window_plan(
@@ -480,18 +479,19 @@ def window_plan(
 ):
     """Host-side: per-tile window starts + the common static window size.
 
-    Flattens idx, splits into n_tiles equal tiles (the last tile ragged-padded;
-    static_window_gather pads identically), and returns
+    Flattens idx, splits into n_tiles equal tiles (idx size must be a
+    multiple of n_tiles — callers pad their plans), and returns
     (starts int32[n_tiles], window_rows int) covering every masked
     entry of each tile. Empty tiles get start 0.
     """
     flat = np.asarray(idx).reshape(-1).astype(np.int64)
     m = np.asarray(mask).reshape(-1)
     r = flat.shape[0]
-    tile = -(-r // n_tiles)
-    pad = n_tiles * tile - r
-    ft = np.pad(flat, (0, pad)).reshape(n_tiles, tile)
-    mt = np.pad(m, (0, pad)).reshape(n_tiles, tile)
+    if r % n_tiles:
+        raise ValueError(f"index count {r} not a multiple of {n_tiles} tiles")
+    tile = r // n_tiles
+    ft = flat.reshape(n_tiles, tile)
+    mt = m.reshape(n_tiles, tile)
     lo = np.where(mt, ft, np.iinfo(np.int64).max).min(axis=1)
     hi = np.where(mt, ft, -1).max(axis=1)
     empty = ~mt.any(axis=1)

@@ -357,7 +357,7 @@ def dense_edges(
         def plan(idx, msk, table_rows):
             flat_n = int(np.prod(idx.shape))
             n_tiles = max(1, -(-flat_n // _TSP_WINDOW_TILE))
-            if n_tiles <= 1:
+            if flat_n % n_tiles or n_tiles <= 1:
                 return None, None
             starts, w = window_plan(idx, msk, n_tiles)
             if w >= table_rows:  # windows no smaller than the table
