@@ -255,37 +255,11 @@ _sorted_gather.defvjp(_sorted_gather_fwd, _sorted_gather_bwd)
 # regime (the single-scale _BANDED_MIN_ROWS boundary); below it the
 # plain gather is already fast and the windowed scan is pure overhead.
 _TSP_WINDOW_MIN_ROWS = 450_000
-# Node tables past this row count have left the fast per-row gather
-# regime (BASELINE.md capacity sweep: ~3.4 ns/row at 307k) — the
-# forward senders gathers go windowed there.
-_SND_WINDOW_MIN_TABLE = 250_000
 
 
-def windowed_sender_gather(table, de):
-    """table[de.senders] through the static window plan when the node
-    table is in the slow-gather regime and the plan exists; exact
-    either way (see ops/sym_gather.static_window_gather). Used by the
-    edge-feature build (multi_scale_simulator._edge_features_dense) —
-    the projections gather goes through _planned_gather, which applies
-    the same windows inside its custom VJP."""
-    snd_starts = getattr(de, "snd_starts", None)
-    snd_win = getattr(de, "snd_win", None)
-    swin = 0 if snd_win is None else int(snd_win.shape[-1])
-    return _snd_gather(table, de.senders, snd_starts, swin)
-
-
-def _snd_gather(table, senders, snd_starts, swin):
-    """Forward senders gather, windowed when the node table is slow."""
-    from sgnn_tpu.ops.sym_gather import static_window_gather
-
-    if swin and snd_starts is not None and table.shape[0] >= _SND_WINDOW_MIN_TABLE:
-        return static_window_gather(table, senders, snd_starts, swin)
-    return table[senders]
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
 def _planned_gather(table, senders, tsp_rows, tsp_node, tsp_mask, tsp_starts,
-                    snd_starts, num_nodes, win, swin):
+                    num_nodes, win):
     """table[senders] with a scatter-free VJP via the static transpose plan.
 
     The plan (DenseEdges.tsp_*, host-built once per static graph) lists,
@@ -295,26 +269,22 @@ def _planned_gather(table, senders, tsp_rows, tsp_node, tsp_mask, tsp_starts,
     node-sized unsorted scatter (the dense path's dominant backward cost,
     ~1 ms/layer profiled on v5e).
 
-    When the plan carries static-window plans (DenseEdges r4) the slow
-    gathers run windowed (ops/sym_gather.static_window_gather — exact
-    by construction; the graph is static): the transpose gather when
-    the edge-cotangent table is >= _TSP_WINDOW_MIN_ROWS rows, the
-    forward senders gather when the node table is >=
-    _SND_WINDOW_MIN_TABLE rows.
+    When the plan carries a static-window plan (tsp_starts + win,
+    DenseEdges r4) and the edge-cotangent table is in the slow-gather
+    regime, the transpose gather runs windowed
+    (ops/sym_gather.static_window_gather — exact by construction; the
+    graph is static).
     """
     del tsp_rows, tsp_node, tsp_mask, tsp_starts, num_nodes, win
-    return _snd_gather(table, senders, snd_starts, swin)
+    return table[senders]
 
 
 def _planned_gather_fwd(table, senders, tsp_rows, tsp_node, tsp_mask, tsp_starts,
-                        snd_starts, num_nodes, win, swin):
-    return (
-        _snd_gather(table, senders, snd_starts, swin),
-        (senders, tsp_rows, tsp_node, tsp_mask, tsp_starts),
-    )
+                        num_nodes, win):
+    return table[senders], (senders, tsp_rows, tsp_node, tsp_mask, tsp_starts)
 
 
-def _planned_gather_bwd(num_nodes, win, swin, res, g):
+def _planned_gather_bwd(num_nodes, win, res, g):
     from sgnn_tpu.ops.segment import segment_sum
 
     senders, tsp_rows, tsp_node, tsp_mask, tsp_starts = res
@@ -331,7 +301,7 @@ def _planned_gather_bwd(num_nodes, win, swin, res, g):
     # convert materialization (ops/sym_gather._slot_reduce_dot)
     sums = _slot_reduce_dot(masked, gf.dtype)
     d_table = segment_sum(sums, tsp_node, num_nodes, indices_are_sorted=True)
-    return d_table, None, None, None, None, None, None
+    return d_table, None, None, None, None, None
 
 
 _planned_gather.defvjp(_planned_gather_fwd, _planned_gather_bwd)
@@ -378,13 +348,10 @@ def _interact_dense(
         proj_j = proj_j.astype(dt)
     tsp_starts = getattr(de, "tsp_starts", None)
     tsp_win = getattr(de, "tsp_win", None)
-    snd_starts = getattr(de, "snd_starts", None)
-    snd_win = getattr(de, "snd_win", None)
     win = 0 if tsp_win is None else int(tsp_win.shape[-1])
-    swin = 0 if snd_win is None else int(snd_win.shape[-1])
     xj = _planned_gather(
         proj_j, de.senders, de.tsp_rows, de.tsp_node, de.tsp_mask,
-        tsp_starts, snd_starts, n, win, swin,
+        tsp_starts, n, win,
     )  # [R, K, H]
     h = (
         proj_i.astype(dt)[:, None, :]
@@ -482,10 +449,8 @@ def flatten_dense_ms_graph(graph, n: int):
         # are B=1, small-N batched runs never reach the engage threshold
         ts = de.tsp_starts if getattr(de, "tsp_starts", None) is not None else None
         tw = de.tsp_win if getattr(de, "tsp_win", None) is not None else None
-        ss = de.snd_starts if getattr(de, "snd_starts", None) is not None else None
-        sw = de.snd_win if getattr(de, "snd_win", None) is not None else None
         if b != 1:
-            ts = tw = ss = sw = None
+            ts = tw = None
         return DenseEdges(
             recv=(de.recv + off).reshape(-1),
             senders=(de.senders + off[..., None]).reshape(b * r, -1),
@@ -495,8 +460,6 @@ def flatten_dense_ms_graph(graph, n: int):
             tsp_mask=de.tsp_mask.reshape(b * rs, -1),
             tsp_starts=None if ts is None else ts.reshape(-1),
             tsp_win=None if tw is None else tw.reshape(tw.shape[-2:]),
-            snd_starts=None if ss is None else ss.reshape(-1),
-            snd_win=None if sw is None else sw.reshape(sw.shape[-2:]),
         )
 
     return DenseStaticGraph(g2m=flat(graph.g2m), m2m=flat(graph.m2m), m2g=flat(graph.m2g))

@@ -279,12 +279,6 @@ class DenseEdges(NamedTuple):
     # regime.
     tsp_starts: Optional[np.ndarray] = None  # int32[n_tiles]
     tsp_win: Optional[np.ndarray] = None  # f32[0, W] (shape-only)
-    # Same static-window plan for the FORWARD senders gathers (node
-    # table reads: sender projections + sender positions for edge
-    # features). Senders are receiver-sorted and spatially local, so
-    # per-tile node-index windows are narrow.
-    snd_starts: Optional[np.ndarray] = None  # int32[n_tiles]
-    snd_win: Optional[np.ndarray] = None  # f32[0, W] (shape-only)
 
 
 def dense_edges(
@@ -350,27 +344,21 @@ def dense_edges(
     # static-window plan over the flat transpose positions (senders are
     # node-sorted and their outgoing edges hit index-near receiver rows,
     # so per-tile index spans are small fractions of the edge table)
-    tsp_starts = tsp_win = snd_starts = snd_win = None
+    tsp_starts = tsp_win = None
+    flat_n = rs_pad * ks
     if rs:
         from sgnn_tpu.ops.sym_gather import window_plan
 
-        def plan(idx, msk, table_rows):
-            flat_n = int(np.prod(idx.shape))
-            n_tiles = max(1, -(-flat_n // _TSP_WINDOW_TILE))
-            if flat_n % n_tiles or n_tiles <= 1:
-                return None, None
-            starts, w = window_plan(idx, msk, n_tiles)
-            if w >= table_rows:  # windows no smaller than the table
-                return None, None
-            return starts, np.zeros((0, w), np.float32)
-
-        tsp_starts, tsp_win = plan(tsp_rows, tsp_mask, r_pad * k_slots)
-        snd_starts, snd_win = plan(senders, mask, num_nodes)
+        n_tiles = max(1, -(-flat_n // _TSP_WINDOW_TILE))
+        if flat_n % n_tiles == 0 and n_tiles > 1:
+            starts, w = window_plan(tsp_rows, tsp_mask, n_tiles)
+            if w < r_pad * k_slots:  # windows actually smaller than the table
+                tsp_starts = starts
+                tsp_win = np.zeros((0, w), np.float32)
     return DenseEdges(
         recv=recv, senders=senders, mask=mask,
         tsp_rows=tsp_rows, tsp_node=tsp_node, tsp_mask=tsp_mask,
         tsp_starts=tsp_starts, tsp_win=tsp_win,
-        snd_starts=snd_starts, snd_win=snd_win,
     )
 
 

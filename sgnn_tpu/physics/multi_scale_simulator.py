@@ -132,13 +132,8 @@ def _edge_features_for(
 def _edge_features_dense(
     positions: jnp.ndarray, de, radius: float
 ) -> jnp.ndarray:
-    """Dense-slot variant: [R, K, dim+1] features over DenseEdges.
-
-    The sender-position gather rides the static window plan at
-    capacity scales (models/multi_scale.windowed_sender_gather)."""
-    from sgnn_tpu.models.multi_scale import windowed_sender_gather
-
-    disp = (windowed_sender_gather(positions, de) - positions[de.recv][:, None, :]) / radius
+    """Dense-slot variant: [R, K, dim+1] features over DenseEdges."""
+    disp = (positions[de.senders] - positions[de.recv][:, None, :]) / radius
     dist = jnp.linalg.norm(disp, axis=-1, keepdims=True)
     feats = jnp.concatenate([disp, dist], axis=-1)
     return feats * de.mask[..., None].astype(feats.dtype)

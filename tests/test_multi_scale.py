@@ -693,13 +693,8 @@ def test_ms_dense_windowed_transpose_grads_match(rng, monkeypatch):
         acc, strain = ms_forward_batched(p, cfg, stats, seqs, types, dense_b)
         return jnp.sum(acc**2) + jnp.sum(strain**2)
 
-    ref_out = loss(params)
     g_plain = jax.grad(loss)(params)
-    # force BOTH windowed gathers on: the transpose VJP gather and the
-    # forward senders/positions gathers
     monkeypatch.setattr(msmod, "_TSP_WINDOW_MIN_ROWS", 0)
-    monkeypatch.setattr(msmod, "_SND_WINDOW_MIN_TABLE", 0)
-    np.testing.assert_array_equal(np.asarray(loss(params)), np.asarray(ref_out))
     g_win = jax.grad(loss)(params)
     for a, b in zip(jax.tree.leaves(g_win), jax.tree.leaves(g_plain)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
