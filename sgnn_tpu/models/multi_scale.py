@@ -251,15 +251,8 @@ def _sorted_gather_bwd(num_nodes, idx, g):
 _sorted_gather.defvjp(_sorted_gather_fwd, _sorted_gather_bwd)
 
 
-# Edge-cotangent tables past this row count are in the slow-gather
-# regime (the single-scale _BANDED_MIN_ROWS boundary); below it the
-# plain gather is already fast and the windowed scan is pure overhead.
-_TSP_WINDOW_MIN_ROWS = 450_000
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
-def _planned_gather(table, senders, tsp_rows, tsp_node, tsp_mask, tsp_starts,
-                    num_nodes, win):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _planned_gather(table, senders, tsp_rows, tsp_node, tsp_mask, num_nodes):
     """table[senders] with a scatter-free VJP via the static transpose plan.
 
     The plan (DenseEdges.tsp_*, host-built once per static graph) lists,
@@ -268,40 +261,30 @@ def _planned_gather(table, senders, tsp_rows, tsp_node, tsp_mask, tsp_starts,
     positions, written back with ONE compact sorted segment-sum — no
     node-sized unsorted scatter (the dense path's dominant backward cost,
     ~1 ms/layer profiled on v5e).
-
-    When the plan carries a static-window plan (tsp_starts + win,
-    DenseEdges r4) and the edge-cotangent table is in the slow-gather
-    regime, the transpose gather runs windowed
-    (ops/sym_gather.static_window_gather — exact by construction; the
-    graph is static).
     """
-    del tsp_rows, tsp_node, tsp_mask, tsp_starts, num_nodes, win
+    del tsp_rows, tsp_node, tsp_mask, num_nodes
     return table[senders]
 
 
-def _planned_gather_fwd(table, senders, tsp_rows, tsp_node, tsp_mask, tsp_starts,
-                        num_nodes, win):
-    return table[senders], (senders, tsp_rows, tsp_node, tsp_mask, tsp_starts)
+def _planned_gather_fwd(table, senders, tsp_rows, tsp_node, tsp_mask, num_nodes):
+    return table[senders], (senders, tsp_rows, tsp_node, tsp_mask)
 
 
-def _planned_gather_bwd(num_nodes, win, res, g):
+def _planned_gather_bwd(num_nodes, res, g):
     from sgnn_tpu.ops.segment import segment_sum
 
-    senders, tsp_rows, tsp_node, tsp_mask, tsp_starts = res
-    from sgnn_tpu.ops.sym_gather import _slot_reduce_dot, static_window_gather
+    senders, tsp_rows, tsp_node, tsp_mask = res
+    from sgnn_tpu.ops.sym_gather import _slot_reduce_dot
 
     r, k = senders.shape
     gf = g.reshape(r * k, -1)
-    if win and tsp_starts is not None and r * k >= _TSP_WINDOW_MIN_ROWS:
-        rows = static_window_gather(gf, tsp_rows, tsp_starts, win)
-    else:
-        rows = gf[tsp_rows]  # [Rs, Ks, H]
+    rows = gf[tsp_rows]  # [Rs, Ks, H]
     masked = rows * tsp_mask[..., None].astype(gf.dtype)
     # masked slot sum as an identity dot: f32 MXU accumulation, no
     # convert materialization (ops/sym_gather._slot_reduce_dot)
     sums = _slot_reduce_dot(masked, gf.dtype)
     d_table = segment_sum(sums, tsp_node, num_nodes, indices_are_sorted=True)
-    return d_table, None, None, None, None, None
+    return d_table, None, None, None, None
 
 
 _planned_gather.defvjp(_planned_gather_fwd, _planned_gather_bwd)
@@ -346,12 +329,8 @@ def _interact_dense(
     proj_j = jnp.dot(x, w_j, preferred_element_type=x.dtype)  # [N, H]
     if compute_dtype is not None:
         proj_j = proj_j.astype(dt)
-    tsp_starts = getattr(de, "tsp_starts", None)
-    tsp_win = getattr(de, "tsp_win", None)
-    win = 0 if tsp_win is None else int(tsp_win.shape[-1])
     xj = _planned_gather(
-        proj_j, de.senders, de.tsp_rows, de.tsp_node, de.tsp_mask,
-        tsp_starts, n, win,
+        proj_j, de.senders, de.tsp_rows, de.tsp_node, de.tsp_mask, n
     )  # [R, K, H]
     h = (
         proj_i.astype(dt)[:, None, :]
@@ -443,14 +422,6 @@ def flatten_dense_ms_graph(graph, n: int):
         off = (jnp.arange(b, dtype=de.recv.dtype) * n)[:, None]
         # transpose-plan edge positions offset by each graph's edge block
         eoff = (jnp.arange(b, dtype=de.tsp_rows.dtype) * (r * k))[:, None, None]
-        # static-window plan survives only the trivial batch (B=1, a
-        # reshape): multi-graph flattening interleaves edge blocks, so
-        # per-tile windows would need a rebuild — capacity-scale runs
-        # are B=1, small-N batched runs never reach the engage threshold
-        ts = de.tsp_starts if getattr(de, "tsp_starts", None) is not None else None
-        tw = de.tsp_win if getattr(de, "tsp_win", None) is not None else None
-        if b != 1:
-            ts = tw = None
         return DenseEdges(
             recv=(de.recv + off).reshape(-1),
             senders=(de.senders + off[..., None]).reshape(b * r, -1),
@@ -458,8 +429,6 @@ def flatten_dense_ms_graph(graph, n: int):
             tsp_rows=(de.tsp_rows + eoff).reshape(b * rs, -1),
             tsp_node=(de.tsp_node + off).reshape(-1),
             tsp_mask=de.tsp_mask.reshape(b * rs, -1),
-            tsp_starts=None if ts is None else ts.reshape(-1),
-            tsp_win=None if tw is None else tw.reshape(tw.shape[-2:]),
         )
 
     return DenseStaticGraph(g2m=flat(graph.g2m), m2m=flat(graph.m2m), m2g=flat(graph.m2g))

@@ -427,76 +427,3 @@ def _sym_gather_bwd(band_nodes, res, cot):
 
 
 sym_gather.defvjp(_sym_gather_fwd, _sym_gather_bwd)
-
-
-def static_window_gather(
-    table: jnp.ndarray,
-    idx: jnp.ndarray,
-    tile_starts: jnp.ndarray,  # int32[n_tiles] per-tile window starts
-    window_rows: int,  # static per-tile window size
-) -> jnp.ndarray:
-    """Exact ``table[idx]`` for STATIC index sets with precomputed windows.
-
-    The multi-scale analogue of banded_gather_rows: the hierarchy's
-    edge lists (and their transpose plans) are built ONCE per
-    trajectory on the host, so the flat index array is fully known at
-    build time — the builder tiles it into len(tile_starts) equal
-    chunks and records, per tile, a window start such that every
-    index the tile's MASKED entries hold falls in
-    [start, start + window_rows). Unlike the banded path there is no
-    runtime contract to guard: the windows were computed from the
-    exact indices (physics/multi_scale_graph.dense_edges), and the
-    graph never changes after build (reference semantics,
-    static_graph_data_loader.py:101-113). Rows outside the window can
-    only come from masked-off (padded) entries; they are clipped and
-    their gathered values are masked by the caller.
-    """
-    e, h = table.shape
-    flat = idx.reshape(-1).astype(jnp.int32)
-    r = flat.shape[0]
-    n_tiles = tile_starts.shape[0]
-    tile = -(-r // n_tiles)
-    w = min(window_rows, e)
-    if w >= e or n_tiles <= 1 or tile * n_tiles != r:
-        return table[flat].reshape(idx.shape + (h,))
-    idx_tiles = flat.reshape(n_tiles, tile)
-    starts = jnp.clip(tile_starts.astype(jnp.int32), 0, e - w)
-
-    def body(_, xs):
-        start, it = xs
-        sub = jax.lax.dynamic_slice(table, (start, 0), (w, h))
-        return None, sub[jnp.clip(it - start, 0, w - 1)]
-
-    _, out = jax.lax.scan(body, None, (starts, idx_tiles))
-    return out.reshape(r, h).reshape(idx.shape + (h,))
-
-
-def window_plan(
-    idx: np.ndarray,  # int[...] static flat indices
-    mask: np.ndarray,  # bool[...] which entries are real
-    n_tiles: int,
-    pad_multiple: int = 512,
-):
-    """Host-side: per-tile window starts + the common static window size.
-
-    Flattens idx, splits into n_tiles equal tiles (idx size must be a
-    multiple of n_tiles — callers pad their plans), and returns
-    (starts int32[n_tiles], window_rows int) covering every masked
-    entry of each tile. Empty tiles get start 0.
-    """
-    flat = np.asarray(idx).reshape(-1).astype(np.int64)
-    m = np.asarray(mask).reshape(-1)
-    r = flat.shape[0]
-    if r % n_tiles:
-        raise ValueError(f"index count {r} not a multiple of {n_tiles} tiles")
-    tile = r // n_tiles
-    ft = flat.reshape(n_tiles, tile)
-    mt = m.reshape(n_tiles, tile)
-    lo = np.where(mt, ft, np.iinfo(np.int64).max).min(axis=1)
-    hi = np.where(mt, ft, -1).max(axis=1)
-    empty = ~mt.any(axis=1)
-    lo = np.where(empty, 0, lo)
-    hi = np.where(empty, 0, hi)
-    spans = hi - lo + 1
-    w = int(-(-int(spans.max()) // pad_multiple) * pad_multiple)
-    return lo.astype(np.int32), max(w, pad_multiple)

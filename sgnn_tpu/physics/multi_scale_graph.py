@@ -227,9 +227,6 @@ def build_static_graph(
 # --------------------------------------------------------------------------
 
 
-_TSP_WINDOW_TILE = 16_384  # flat transpose entries per window tile
-
-
 class DenseEdges(NamedTuple):
     """One edge type as dense per-receiver neighbor slots.
 
@@ -270,15 +267,6 @@ class DenseEdges(NamedTuple):
     tsp_rows: np.ndarray  # int32[Rs, Ks]
     tsp_node: np.ndarray  # int32[Rs]
     tsp_mask: np.ndarray  # bool[Rs, Ks]
-    # Static-window plan for the transpose gather (r4): per-tile window
-    # starts over the flattened tsp_rows, plus an EMPTY [0, W] array
-    # whose trailing shape carries the static window size through tree
-    # ops (ops/sym_gather.static_window_gather — exact by construction,
-    # the graph is static). None on hand-built edges; engaged by the
-    # VJP only when the edge-cotangent table is in the slow-gather
-    # regime.
-    tsp_starts: Optional[np.ndarray] = None  # int32[n_tiles]
-    tsp_win: Optional[np.ndarray] = None  # f32[0, W] (shape-only)
 
 
 def dense_edges(
@@ -341,24 +329,9 @@ def dense_edges(
     srow = np.repeat(np.arange(rs), scounts)
     tsp_rows[srow, sslot] = pos_sorted
     tsp_mask[srow, sslot] = True
-    # static-window plan over the flat transpose positions (senders are
-    # node-sorted and their outgoing edges hit index-near receiver rows,
-    # so per-tile index spans are small fractions of the edge table)
-    tsp_starts = tsp_win = None
-    flat_n = rs_pad * ks
-    if rs:
-        from sgnn_tpu.ops.sym_gather import window_plan
-
-        n_tiles = max(1, -(-flat_n // _TSP_WINDOW_TILE))
-        if flat_n % n_tiles == 0 and n_tiles > 1:
-            starts, w = window_plan(tsp_rows, tsp_mask, n_tiles)
-            if w < r_pad * k_slots:  # windows actually smaller than the table
-                tsp_starts = starts
-                tsp_win = np.zeros((0, w), np.float32)
     return DenseEdges(
         recv=recv, senders=senders, mask=mask,
         tsp_rows=tsp_rows, tsp_node=tsp_node, tsp_mask=tsp_mask,
-        tsp_starts=tsp_starts, tsp_win=tsp_win,
     )
 
 

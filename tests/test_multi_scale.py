@@ -649,52 +649,3 @@ def test_ms_coo_bf16_close_to_f32(rng):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=0.35, atol=0.05
         )
-
-
-def test_ms_dense_windowed_transpose_grads_match(rng, monkeypatch):
-    """Force the r4 static-window transpose gather on (threshold -> 0):
-    grads through the windowed VJP == the plain-gather VJP bit-for-bit
-    (same rows, same sums — only the access pattern changes)."""
-    from sgnn_tpu.models import multi_scale as msmod
-    from sgnn_tpu.physics.multi_scale_graph import (
-        _TSP_WINDOW_TILE,
-        build_dense_static_graph,
-    )
-    from sgnn_tpu.physics.multi_scale_simulator import ms_forward_batched
-
-    s = 4
-    cfg = MultiScaleSimulatorConfig(
-        dim=2, latent_dim=8, num_message_passing_steps=2, num_mlp_layers=2,
-        input_sequence_length=s, num_scales=2, window_size=2,
-    )
-    stats = NormStats(jnp.zeros(2), jnp.ones(2), jnp.zeros(2), jnp.ones(2))
-    params = multi_scale_simulator_init(jax.random.key(0), cfg)
-    g = square_grid(8)
-    n = len(g)
-    # tile small enough that the plan has multiple tiles at this size
-    monkeypatch.setattr(
-        "sgnn_tpu.physics.multi_scale_graph._TSP_WINDOW_TILE", 64
-    )
-    dense = build_dense_static_graph(
-        cfg.graph_config, g, g2m_rows=32, m2m_rows=32, m2g_rows=n
-    )
-    has_plan = any(
-        getattr(de, "tsp_starts", None) is not None
-        for de in (dense.g2m, dense.m2m, dense.m2g)
-    )
-    assert has_plan  # the builder produced window plans at this tile size
-    dense_b = jax.tree.map(lambda a: jnp.asarray(a)[None], dense)
-    seqs = jnp.asarray(
-        (g[None, :, None, :] + rng.normal(scale=0.01, size=(1, n, s, 2)).cumsum(2)).astype(np.float32)
-    )
-    types = jnp.zeros((1, n), jnp.int32)
-
-    def loss(p):
-        acc, strain = ms_forward_batched(p, cfg, stats, seqs, types, dense_b)
-        return jnp.sum(acc**2) + jnp.sum(strain**2)
-
-    g_plain = jax.grad(loss)(params)
-    monkeypatch.setattr(msmod, "_TSP_WINDOW_MIN_ROWS", 0)
-    g_win = jax.grad(loss)(params)
-    for a, b in zip(jax.tree.leaves(g_win), jax.tree.leaves(g_plain)):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
