@@ -314,7 +314,6 @@ def _process_decode(
     # edge mask in-kernel); maskf rows are prefix-compacted so the sum is
     # exact
     degrees = jnp.sum(maskf.reshape(m, k), axis=-1, keepdims=True)
-    edge_mlp = params["processor"][0]["edge"]["mlp"] if params["processor"] else None
     if use_pallas is None:
         use_pallas = False  # kernel demoted to experimental/ (see above)
 
