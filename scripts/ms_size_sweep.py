@@ -77,14 +77,21 @@ def run_one(n_particles, batch, num_scales):
             return len(nz), int(nz.max())
 
         (g2m_r, g2m_k) = deg_stats(all_edges["grid2mesh_edges"])
-        (m2m_r, m2m_k) = deg_stats(all_edges["mesh2mesh_edges"])
         (m2g_r, m2g_k) = deg_stats(all_edges["mesh2grid_edges"])
+        # per-scale m2m sizing: each scale keeps its own tight K instead
+        # of the concatenated set's summed degree at coarse nodes
+        ms_stats = [deg_stats(e) for e in all_edges["mesh2mesh_edges_per_scale"]]
         rpad = lambda r: -(-r // 128) * 128
         graph1 = build_dense_static_graph(
             gc, pos,
-            g2m_rows=rpad(g2m_r), m2m_rows=rpad(m2m_r), m2g_rows=rpad(m2g_r),
-            g2m_slots=g2m_k, m2m_slots=m2m_k, m2g_slots=m2g_k,
+            g2m_rows=rpad(g2m_r), m2g_rows=rpad(m2g_r),
+            m2m_rows=[rpad(r) for r, _ in ms_stats],
+            g2m_slots=g2m_k, m2g_slots=m2g_k,
+            m2m_slots=[k for _, k in ms_stats],
         )
+        slot_rows = sum(rpad(r) * k for r, k in ms_stats)
+        print(f"m2m per-scale slots: {ms_stats} -> {slot_rows} slot rows "
+              f"for {counts['m2m']} edges")
         layout = "dense"
     else:
         pad = lambda e: -(-e // 1024) * 1024

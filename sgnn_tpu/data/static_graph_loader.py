@@ -62,20 +62,32 @@ def _build_graphs(
         raw.append(create_all_edges(ms_cfg, pos[0]))
 
     keys = ("grid2mesh_edges", "mesh2mesh_edges", "mesh2grid_edges")
+
+    def _m2m_views(r):
+        """Per-scale COO views of the m2m edges (dense layout keys its
+        slot widths per scale, see DenseStaticGraph)."""
+        return list(r["mesh2mesh_edges_per_scale"])
+
     if dense == "auto":
         import numpy as _np
 
         w = {keys[0]: 1, keys[1]: max(1, m2m_traversals), keys[2]: 1}
         dense_rows, coo_rows = 0, 0
         for k in keys:
-            r_max, k_max, e_max = 1, 1, 1
+            e_max = 1
             for r in raw:
-                _, counts = _np.unique(r[k].receivers, return_counts=True)
-                r_max = max(r_max, len(counts))
-                k_max = max(k_max, int(counts.max()) if len(counts) else 1)
                 e_max = max(e_max, len(r[k].senders))
-            dense_rows += w[k] * _round_up(r_max, 8) * _round_up(k_max, 4)
             coo_rows += w[k] * _round_up(e_max, edge_pad_multiple)
+            # dense m2m rows count per scale (tight per-scale K)
+            views = range(len(_m2m_views(raw[0]))) if k == keys[1] else [None]
+            for v in views:
+                r_max, k_max = 1, 1
+                for r in raw:
+                    e = _m2m_views(r)[v] if v is not None else r[k]
+                    _, counts = _np.unique(e.receivers, return_counts=True)
+                    r_max = max(r_max, len(counts))
+                    k_max = max(k_max, int(counts.max()) if len(counts) else 1)
+                dense_rows += w[k] * _round_up(r_max, 8) * _round_up(k_max, 4)
         dense = dense_rows <= dense_row_advantage * coo_rows
         print(
             f"ms layout auto: {'dense' if dense else 'coo'} "
@@ -97,30 +109,39 @@ def _build_graphs(
 
     import numpy as _np
 
-    rows, slots, trows, tslots = {}, {}, {}, {}
-    for k in keys:
+    def size_for(edge_sets):
+        """Dataset-wide dense pad sizes over a list (one COO per traj)."""
         r_max, k_max, sr_max, sk_max = 1, 1, 1, 1
-        for r in raw:
-            recv, counts = _np.unique(r[k].receivers, return_counts=True)
+        for e in edge_sets:
+            recv, counts = _np.unique(e.receivers, return_counts=True)
             r_max = max(r_max, len(recv))
             k_max = max(k_max, int(counts.max()) if len(counts) else 1)
-            snd, scounts = _np.unique(r[k].senders, return_counts=True)
+            snd, scounts = _np.unique(e.senders, return_counts=True)
             sr_max = max(sr_max, len(snd))
             sk_max = max(sk_max, int(scounts.max()) if len(scounts) else 1)
-        rows[k] = _round_up(r_max, 8)
-        slots[k] = _round_up(k_max, 4)
-        trows[k] = _round_up(sr_max, 8)
-        tslots[k] = _round_up(sk_max, 4)
+        return (
+            _round_up(r_max, 8), _round_up(k_max, 4),
+            _round_up(sr_max, 8), _round_up(sk_max, 4),
+        )
 
-    def de(r, k):
+    sz = {k: size_for([r[k] for r in raw]) for k in (keys[0], keys[2])}
+    num_m2m_scales = len(_m2m_views(raw[0]))
+    sz_m2m = [
+        size_for([_m2m_views(r)[s] for r in raw]) for s in range(num_m2m_scales)
+    ]
+
+    def de(e, s):
         return dense_edges(
-            r[k], num_nodes, rows[k], slots[k],
-            tsp_rows_pad=trows[k], tsp_slots=tslots[k],
+            e, num_nodes, s[0], s[1], tsp_rows_pad=s[2], tsp_slots=s[3]
         )
 
     return [
         DenseStaticGraph(
-            g2m=de(r, keys[0]), m2m=de(r, keys[1]), m2g=de(r, keys[2])
+            g2m=de(r[keys[0]], sz[keys[0]]),
+            m2m=tuple(
+                de(e, s) for e, s in zip(_m2m_views(r), sz_m2m)
+            ),
+            m2g=de(r[keys[2]], sz[keys[2]]),
         )
         for r in raw
     ]

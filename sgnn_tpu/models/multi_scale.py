@@ -367,6 +367,83 @@ def _interact_dense(
     return x + upd, (e + msg) * maskf
 
 
+def _interact_dense_scales(
+    block: Params,
+    x: jnp.ndarray,
+    es,  # sequence of [R_s, K_s, D] per-scale edge latents
+    des,  # sequence of DenseEdges (disjoint edge sets over the same nodes)
+    sorted_receivers: bool = False,
+    compute_dtype=None,
+) -> tuple:
+    """One interaction step over a UNION of dense edge sets (per-scale m2m).
+
+    Reference semantics: each M2M block consumes the CONCATENATED
+    per-scale mesh edges (multi_scale_gnn.py:312-316 over edges from
+    multi_scale_graph.py:245-281). Because the scales' edge sets are
+    disjoint and aggregation is a sum at receivers, running the edge
+    update per scale and summing the per-scale segment-sums is the same
+    math — but each scale keeps its own tight slot width K_s instead of
+    padding every row to the summed degree of the coarsest member node
+    (chained sampling makes coarse nodes members of every finer scale).
+    Node update runs ONCE on the summed aggregate, exactly like the
+    combined form; same mixed-precision contract as _interact_dense.
+    """
+    from sgnn_tpu.models.epd_flat import _mlp_tail_in
+    from sgnn_tpu.ops.segment import segment_sum
+
+    d = x.shape[-1]
+    n = x.shape[0]
+    dt = es[0].dtype if compute_dtype is None else compute_dtype
+
+    (w_i, w_j, w_e), b_e = _split_first_layer(block["edge"]["mlp"], (d, d, d))
+    proj_i_full = jnp.dot(x, w_i, preferred_element_type=x.dtype)  # [N, H]
+    proj_j = jnp.dot(x, w_j, preferred_element_type=x.dtype)  # [N, H]
+    if compute_dtype is not None:
+        proj_j = proj_j.astype(dt)
+    w_e_dt = w_e.astype(dt)
+    b_e_dt = b_e.astype(dt)
+
+    (w_agg, w_x), b_n = _split_first_layer(block["node"]["mlp"], (d, d))
+    agg_hn = jnp.zeros((n, d), jnp.float32)
+    new_es = []
+    for e, de in zip(es, des):
+        maskf = de.mask[..., None].astype(dt)
+        proj_i = _sorted_gather(proj_i_full, de.recv, n)  # [R_s, H]
+        xj = _planned_gather(
+            proj_j, de.senders, de.tsp_rows, de.tsp_node, de.tsp_mask, n
+        )  # [R_s, K_s, H]
+        h = (
+            proj_i.astype(dt)[:, None, :]
+            + xj
+            + jnp.dot(e, w_e_dt, preferred_element_type=dt)
+            + b_e_dt
+        )
+        msg = _mlp_tail_in(block["edge"]["mlp"], h)
+        msg = layer_norm_apply(block["edge"]["ln"], msg)
+        msg = msg * maskf
+        new_es.append((e + msg) * maskf)
+
+        # slot aggregation folded into the node matmul (see _interact_dense)
+        r, ks = de.senders.shape
+        w_big = jnp.tile(w_agg, (ks, 1)).astype(msg.dtype)  # [K_s*D, D]
+        agg_rows = jnp.dot(
+            msg.reshape(r, ks * d), w_big, preferred_element_type=jnp.float32
+        )  # [R_s, D]
+        agg_hn = agg_hn + segment_sum(
+            agg_rows, de.recv, n, indices_are_sorted=sorted_receivers
+        )
+
+    hn = (
+        agg_hn.astype(x.dtype)
+        + jnp.dot(x, w_x, preferred_element_type=x.dtype)
+        + b_n
+    )
+    upd = _mlp_tail(block["node"]["mlp"], hn)
+    upd = layer_norm_apply(block["node"]["ln"], upd)
+
+    return x + upd, new_es
+
+
 def multi_scale_gnn_apply_dense(
     params: Params,
     node_features: jnp.ndarray,  # [N, node_in]
@@ -382,25 +459,28 @@ def multi_scale_gnn_apply_dense(
     accumulations stay f32 (the single-scale mixed-precision contract).
     """
     x = mlp_ln_apply(params["grid_node_encoder"], node_features)
-    e = {
-        "g2m": mlp_ln_apply(params["g2m_edge_encoder"], edge_features["g2m"]),
-        "m2m": mlp_ln_apply(params["m2m_edge_encoder"], edge_features["m2m"]),
-        "m2g": mlp_ln_apply(params["m2g_edge_encoder"], edge_features["m2g"]),
-    }
-    for key in e:
-        e[key] = e[key] * getattr(graph, key).mask[..., None].astype(x.dtype)
-        if compute_dtype is not None:
-            e[key] = e[key].astype(compute_dtype)
 
-    x, e["g2m"] = _interact_dense(
-        params["g2m_block"], x, e["g2m"], graph.g2m, sorted_receivers, compute_dtype
+    def enc(name, feats, mask):
+        out = mlp_ln_apply(params[name], feats) * mask[..., None].astype(x.dtype)
+        return out.astype(compute_dtype) if compute_dtype is not None else out
+
+    e_g2m = enc("g2m_edge_encoder", edge_features["g2m"], graph.g2m.mask)
+    # m2m is per-scale: one shared encoder applied to each scale's features
+    e_m2m = [
+        enc("m2m_edge_encoder", f, de.mask)
+        for f, de in zip(edge_features["m2m"], graph.m2m)
+    ]
+    e_m2g = enc("m2g_edge_encoder", edge_features["m2g"], graph.m2g.mask)
+
+    x, e_g2m = _interact_dense(
+        params["g2m_block"], x, e_g2m, graph.g2m, sorted_receivers, compute_dtype
     )
     for block in params["m2m_blocks"]:
-        x, e["m2m"] = _interact_dense(
-            block, x, e["m2m"], graph.m2m, sorted_receivers, compute_dtype
+        x, e_m2m = _interact_dense_scales(
+            block, x, e_m2m, graph.m2m, sorted_receivers, compute_dtype
         )
-    x, e["m2g"] = _interact_dense(
-        params["m2g_block"], x, e["m2g"], graph.m2g, sorted_receivers, compute_dtype
+    x, e_m2g = _interact_dense(
+        params["m2g_block"], x, e_m2g, graph.m2g, sorted_receivers, compute_dtype
     )
 
     return mlp_apply(params["prediction_head"], x)
@@ -431,7 +511,11 @@ def flatten_dense_ms_graph(graph, n: int):
             tsp_mask=de.tsp_mask.reshape(b * rs, -1),
         )
 
-    return DenseStaticGraph(g2m=flat(graph.g2m), m2m=flat(graph.m2m), m2g=flat(graph.m2g))
+    return DenseStaticGraph(
+        g2m=flat(graph.g2m),
+        m2m=tuple(flat(de) for de in graph.m2m),
+        m2g=flat(graph.m2g),
+    )
 
 
 def flatten_ms_graph(graph: StaticGraph, n: int) -> StaticGraph:

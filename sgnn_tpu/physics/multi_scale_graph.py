@@ -152,20 +152,29 @@ def create_all_edges(cfg: MultiScaleConfig, grid_positions: np.ndarray) -> dict:
     m2g = CooEdges(grid_edges.senders[m2g_mask], grid_edges.receivers[m2g_mask])
 
     # per-scale mesh2mesh radius graphs, remapped to global grid indices
-    m2m_s: List[np.ndarray] = []
-    m2m_r: List[np.ndarray] = []
+    m2m_scales: List[CooEdges] = []
     for scale in range(1, cfg.num_scales):
         idx = hierarchy[scale]["sampling_indices"]
         pos = grid_positions[idx]
         e = _radius_edges(pos, cfg.scale_radius(scale), cfg.max_neighbors)
-        m2m_s.append(idx[e.senders])
-        m2m_r.append(idx[e.receivers])
-    m2m = CooEdges(np.concatenate(m2m_s), np.concatenate(m2m_r))
+        m2m_scales.append(CooEdges(idx[e.senders], idx[e.receivers]))
+    m2m = CooEdges(
+        np.concatenate([e.senders for e in m2m_scales]),
+        np.concatenate([e.receivers for e in m2m_scales]),
+    )
 
     return {
         "graph_hierarchy": hierarchy,
         "grid2mesh_edges": g2m,
         "mesh2mesh_edges": m2m,
+        # per-scale COO views of the same edges (scale order 1..S-1).
+        # The dense layout keys its m2m slot widths per scale off these:
+        # every scale-s node is also a scale-(s-1) node (chained sampling
+        # indices, multi_scale_graph.py:188-190), so the CONCATENATED m2m
+        # degree at a coarse node is the sum of its per-scale degrees —
+        # one global K pads every row to that sum (62% occupancy measured
+        # at 307k nodes) while per-scale Ks stay tight.
+        "mesh2mesh_edges_per_scale": m2m_scales,
         "mesh2grid_edges": m2g,
     }
 
@@ -336,11 +345,35 @@ def dense_edges(
 
 
 class DenseStaticGraph(NamedTuple):
-    """Dense-slot static multi-scale graph of one trajectory (array pytree)."""
+    """Dense-slot static multi-scale graph of one trajectory (array pytree).
+
+    ``m2m`` is a TUPLE of per-scale DenseEdges (scale order 1..S-1), not
+    one combined edge set: chained sampling indices make every coarse
+    node a member of all finer scales, so the concatenated m2m degree at
+    a coarse node is the SUM of its per-scale degrees — a single global
+    slot width K pads every fine-scale row up to that sum (62% occupancy
+    measured at 307k nodes / 3 scales) while per-scale widths stay tight
+    (~99%). Each m2m block consumes all scales' edges per layer exactly
+    as the reference's concatenated list does
+    (multi_scale_gnn.py:312-316 over multi_scale_graph.py:245-281); the
+    per-scale split only changes the aggregation into a sum of per-scale
+    segment-sums (models/multi_scale._interact_dense_scales).
+    """
 
     g2m: DenseEdges
-    m2m: DenseEdges
+    m2m: tuple  # Tuple[DenseEdges, ...] per scale
     m2g: DenseEdges
+
+
+def _per_scale(val, num: int, default=None):
+    """Broadcast an int (or None->default) sizing arg to per-scale values."""
+    if val is None:
+        val = default
+    if isinstance(val, (list, tuple)):
+        if len(val) != num:
+            raise ValueError(f"expected {num} per-scale values, got {len(val)}")
+        return list(val)
+    return [val] * num
 
 
 def build_dense_static_graph(
@@ -348,10 +381,10 @@ def build_dense_static_graph(
     grid_positions: np.ndarray,
     *,
     g2m_rows: int,
-    m2m_rows: int,
+    m2m_rows,  # int or per-scale sequence
     m2g_rows: int,
     g2m_slots: Optional[int] = None,
-    m2m_slots: Optional[int] = None,
+    m2m_slots=None,  # int or per-scale sequence
     m2g_slots: Optional[int] = None,
     tsp_rows: Optional[dict] = None,  # {'g2m','m2m','m2g'} -> sender-row pad
     tsp_slots: Optional[dict] = None,  # {'g2m','m2m','m2g'} -> out-degree pad
@@ -359,21 +392,31 @@ def build_dense_static_graph(
     """Host-side dense graph build (same edges as build_static_graph).
 
     tsp_rows/tsp_slots size the per-type transpose plans; pass common
-    values when graphs of multiple trajectories must stack.
+    values when graphs of multiple trajectories must stack. The m2m
+    entries (rows/slots/plans) accept an int applied to every scale or a
+    per-scale sequence.
     """
     n = len(grid_positions)
     out = create_all_edges(cfg, grid_positions)
     k = cfg.max_neighbors
     tr = tsp_rows or {}
     ts = tsp_slots or {}
+    ns = cfg.num_scales - 1
+    m2m_rows_l = _per_scale(m2m_rows, ns)
+    m2m_slots_l = _per_scale(m2m_slots, ns, default=k)
+    m2m_tr = _per_scale(tr.get("m2m"), ns)
+    m2m_ts = _per_scale(ts.get("m2m"), ns)
     return DenseStaticGraph(
         g2m=dense_edges(
             out["grid2mesh_edges"], n, g2m_rows, g2m_slots or k,
             tsp_rows_pad=tr.get("g2m"), tsp_slots=ts.get("g2m"),
         ),
-        m2m=dense_edges(
-            out["mesh2mesh_edges"], n, m2m_rows, m2m_slots or k,
-            tsp_rows_pad=tr.get("m2m"), tsp_slots=ts.get("m2m"),
+        m2m=tuple(
+            dense_edges(
+                e, n, m2m_rows_l[s], m2m_slots_l[s] or k,
+                tsp_rows_pad=m2m_tr[s], tsp_slots=m2m_ts[s],
+            )
+            for s, e in enumerate(out["mesh2mesh_edges_per_scale"])
         ),
         m2g=dense_edges(
             out["mesh2grid_edges"], n, m2g_rows, m2g_slots or k,

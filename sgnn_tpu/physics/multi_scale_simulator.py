@@ -147,7 +147,14 @@ def _ms_edge_features(cfg, most_recent: jnp.ndarray, graph) -> Dict[str, jnp.nda
     f = _edge_features_dense if dense else _edge_features_for
     return {
         "g2m": f(most_recent, graph.g2m, gc.grid_radius),
-        "m2m": f(most_recent, graph.m2m, gc.coarsest_radius),
+        # dense m2m is per-scale (tuple of DenseEdges); every scale's
+        # features normalize by the ONE coarsest radius, exactly like the
+        # reference's concatenated list (multi_scale_simulator.py:203-238)
+        "m2m": (
+            tuple(f(most_recent, de, gc.coarsest_radius) for de in graph.m2m)
+            if dense
+            else f(most_recent, graph.m2m, gc.coarsest_radius)
+        ),
         "m2g": f(most_recent, graph.m2g, gc.grid_radius),
     }
 

@@ -551,6 +551,72 @@ def test_ms_dense_grads_match_coo(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5)
 
 
+def test_ms_dense_per_scale_matches_coo_3scales(rng):
+    """num_scales=3: the dense path's PER-SCALE m2m sub-blocks (tight K
+    per scale instead of the concatenated set's summed coarse-node
+    degree) produce the same outputs AND grads as the combined COO path.
+
+    This is the layout change that cuts the 62%-occupancy m2m slot
+    padding at capacity scale (chained sampling makes every scale-2 node
+    also a scale-1 node, so combined degree = sum of per-scale degrees)."""
+    from sgnn_tpu.physics.multi_scale_graph import build_dense_static_graph
+    from sgnn_tpu.physics.multi_scale_simulator import (
+        ms_forward_batched,
+        ms_predict_positions,
+    )
+
+    s = 4
+    cfg = MultiScaleSimulatorConfig(
+        dim=2, latent_dim=8, num_message_passing_steps=3, num_mlp_layers=2,
+        input_sequence_length=s, num_scales=3, window_size=2,
+    )
+    stats = NormStats(jnp.zeros(2), jnp.ones(2), jnp.zeros(2), jnp.ones(2))
+    params = multi_scale_simulator_init(jax.random.key(0), cfg)
+    g = square_grid(8)
+    n = len(g)
+    coo = build_static_graph(cfg.graph_config, g, g2m_pad=512, m2m_pad=512, m2g_pad=512)
+    out = create_all_edges(cfg.graph_config, g)
+    scale_ks = [
+        int(np.bincount(e.receivers).max())
+        for e in out["mesh2mesh_edges_per_scale"]
+    ]
+    dense = build_dense_static_graph(
+        cfg.graph_config, g, g2m_rows=32, m2m_rows=[16, 8], m2g_rows=n,
+        m2m_slots=scale_ks,
+    )
+    # the split is real: two scales, and each scale's K is tighter than
+    # the combined max degree (a scale-2 node carries both scales' edges)
+    assert len(dense.m2m) == 2
+    comb_k = int(np.bincount(out["mesh2mesh_edges"].receivers).max())
+    assert max(de.senders.shape[1] for de in dense.m2m) < comb_k
+
+    seqs = jnp.asarray(
+        (g[None, :, None, :] + rng.normal(scale=0.01, size=(1, n, s, 2)).cumsum(2)).astype(np.float32)
+    )
+    types = jnp.zeros((1, n), jnp.int32)
+    batch = lambda gr: jax.tree.map(lambda a: jnp.asarray(a)[None], gr)
+
+    # unbatched forward
+    ref_pos, ref_strain = ms_predict_positions(
+        params, cfg, stats, seqs[0], types[0], jax.tree.map(jnp.asarray, coo)
+    )
+    got_pos, got_strain = ms_predict_positions(
+        params, cfg, stats, seqs[0], types[0], jax.tree.map(jnp.asarray, dense)
+    )
+    np.testing.assert_allclose(np.asarray(got_pos), np.asarray(ref_pos), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_strain), np.asarray(ref_strain), rtol=2e-5, atol=2e-5)
+
+    # batched flat grads
+    def loss(p, graph):
+        acc, strain = ms_forward_batched(p, cfg, stats, seqs, types, graph)
+        return jnp.sum(acc**2) + jnp.sum(strain**2)
+
+    g_coo = jax.grad(loss)(params, batch(coo))
+    g_dense = jax.grad(loss)(params, batch(dense))
+    for a, b in zip(jax.tree.leaves(g_coo), jax.tree.leaves(g_dense)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5)
+
+
 def test_ms_dense_bf16_close_to_f32(rng):
     """Dense path with compute_dtype=bf16: outputs close to f32, grads
     flow (mixed-precision contract mirrors the single-scale flat path)."""
