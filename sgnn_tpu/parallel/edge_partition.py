@@ -601,12 +601,16 @@ def _make_partitioned_step_body(
         # computed gradients on a silently truncated edge set — REJECT
         # it instead of applying it. The update and optimizer state are
         # kept only when the contract held; a rejected step is a no-op
-        # on the model (the trainer re-feeds the sample with fresh
-        # noise — same geometry, new tail draw). Branchless jnp.where
-        # keeps the step a single compiled program (no lax.cond
-        # materialization cliffs — see sym_gather's in-op-cond negative
-        # result); the gate's elementwise cost is parameter-sized,
-        # negligible next to the graph compute.
+        # on the model. The trainer SKIPS the sample and advances to the
+        # next prefetched batch (step/LR schedule still advance; the
+        # rejection is visible as train/halo_rejected, and a
+        # RejectionTracker aborts after too many consecutive rejections
+        # — geometry that permanently outgrew the plan needs a replan
+        # with larger halo_slack, not silent param freezing). Branchless
+        # jnp.where keeps the step a single compiled program (no
+        # lax.cond materialization cliffs — see sym_gather's in-op-cond
+        # negative result); the gate's elementwise cost is
+        # parameter-sized, negligible next to the graph compute.
         ok = aux["train/halo_violations"] == 0
 
         def keep(new, old):
@@ -626,6 +630,41 @@ def _make_partitioned_step_body(
         return new_state, {"train/loss": loss, **aux}
 
     return step
+
+
+class RejectionTracker:
+    """Host-side guard against a permanently outgrown partition plan.
+
+    Every rejected step is a no-op on the params while the loop keeps
+    consuming samples and advancing the step/LR schedule — correct for
+    transient noise-tail violations, but if the GEOMETRY has outgrown
+    the static plan every subsequent step is rejected and training
+    silently freezes (ADVICE r4). This tracker counts CONSECUTIVE
+    rejections and raises after ``limit`` of them so the run fails loudly
+    with the fix (replan on current positions / larger halo_slack)
+    instead of burning the schedule.
+    """
+
+    def __init__(self, limit: int = 50):
+        self.limit = int(limit)
+        self.consecutive = 0
+        self.total = 0
+
+    def update(self, rejected) -> None:
+        if rejected:
+            self.consecutive += 1
+            self.total += 1
+            if self.consecutive >= self.limit:
+                raise RuntimeError(
+                    f"{self.consecutive} consecutive training steps rejected "
+                    "by the halo-contract guard: the sample geometry has "
+                    "outgrown the static partition plan (params are frozen "
+                    "while the LR schedule advances). Rebuild the plan on "
+                    "current positions (edge_partition.partition_plan) or "
+                    "increase halo_slack."
+                )
+        else:
+            self.consecutive = 0
 
 
 def make_partitioned_multi_step(

@@ -489,6 +489,10 @@ def train(cfg: TrainConfig) -> dict:
     if inner > 1:
         source = _stack_host_batches(source, inner)
     prefetch = DevicePrefetcher(source, depth=2, put=batch_put)
+    from sgnn_tpu.parallel.edge_partition import RejectionTracker
+
+    # fires after 20 consecutive all-rejected LOG points (see loop below)
+    rejection_tracker = RejectionTracker(limit=20)
     interrupted = False
     try:
         for device_batch in prefetch:
@@ -521,10 +525,22 @@ def train(cfg: TrainConfig) -> dict:
                         "noisy sample geometry outgrew the static partition "
                         "plan; the update was REJECTED in-step (gradients "
                         "from the truncated edge set never reached the "
-                        "optimizer — train/halo_rejected). Frequent "
+                        "optimizer — train/halo_rejected) and the SAMPLE "
+                        "SKIPPED (the loop advances to the next prefetched "
+                        "batch; step/LR schedule advance too). Frequent "
                         "rejections mean the plan's noise margin is too "
                         "thin: rebuild with a larger halo_slack."
                     )
+                # Abort loudly if the geometry has permanently outgrown
+                # the plan (every step rejected -> params frozen while
+                # the schedule burns). Sampled at log granularity to
+                # avoid per-step host syncs through the TPU tunnel; a
+                # permanently outgrown plan rejects EVERY step, so every
+                # log point sees rejected=1 and this fires after
+                # limit*log_every steps.
+                rejection_tracker.update(
+                    metrics.get("train/halo_rejected", 0) > 0
+                )
                 if metrics.get("train/band_violations", 0) > 0:
                     print(
                         "  WARNING: banded-gather contract violations this "

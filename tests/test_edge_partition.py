@@ -572,3 +572,24 @@ def test_partitioned_symmetric_gather_grads_match(mesh, monkeypatch):
     np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g0)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6)
+
+
+def test_rejection_tracker_contract():
+    """Skip semantics + the consecutive-rejection abort (ADVICE r4): a
+    rejected step is a params/opt no-op (asserted above in
+    test_halo_guard_fires_on_drift) and the trainer SKIPS the sample —
+    there is no re-feed — while RejectionTracker fails loudly once every
+    consecutive check point is rejected (permanently outgrown plan)."""
+    import pytest
+
+    from sgnn_tpu.parallel.edge_partition import RejectionTracker
+
+    t = RejectionTracker(limit=3)
+    t.update(True)
+    t.update(True)
+    t.update(False)  # a clean step resets the consecutive count
+    t.update(True)
+    t.update(True)
+    assert t.total == 4 and t.consecutive == 2
+    with pytest.raises(RuntimeError, match="halo-contract"):
+        t.update(True)
