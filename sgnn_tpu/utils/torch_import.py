@@ -152,3 +152,69 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     if isinstance(sd, dict) and "state_dict" in sd:
         sd = sd["state_dict"]
     return {k: v.detach().cpu().numpy() for k, v in sd.items()}
+
+
+# --------------------------------------------------------------------------
+# Inverse direction: our params -> reference state_dict naming. Lets a
+# model trained here be evaluated by the reference's torch tooling, and
+# gives tests a way to synthesize reference-layout checkpoints for the
+# parity driver (scripts/parity_vs_checkpoint.py) without torch.
+# --------------------------------------------------------------------------
+
+
+def _mlp_export(prefix: str, mlp: dict, out: Dict[str, np.ndarray]) -> None:
+    for i, layer in enumerate(mlp["layers"]):
+        out[f"{prefix}.NN-{i}.weight"] = np.ascontiguousarray(
+            np.asarray(layer["w"]).T
+        )
+        out[f"{prefix}.NN-{i}.bias"] = np.asarray(layer["b"])
+
+
+def _mlp_ln_export(prefix: str, p: dict, out: Dict[str, np.ndarray]) -> None:
+    _mlp_export(f"{prefix}.0", p["mlp"], out)
+    out[f"{prefix}.1.weight"] = np.asarray(p["ln"]["scale"])
+    out[f"{prefix}.1.bias"] = np.asarray(p["ln"]["bias"])
+
+
+def export_single_scale(params: dict) -> Dict[str, np.ndarray]:
+    """sgnn_tpu simulator params -> reference LearnedSimulator state_dict
+    (inverse of import_single_scale; round-trip pinned by test)."""
+    epd = "_encode_process_decode"
+    out: Dict[str, np.ndarray] = {}
+    _mlp_ln_export(f"{epd}._encoder.node_fn", params["epd"]["encoder"]["node"], out)
+    _mlp_ln_export(f"{epd}._encoder.edge_fn", params["epd"]["encoder"]["edge"], out)
+    for m, block in enumerate(params["epd"]["processor"]):
+        _mlp_ln_export(f"{epd}._processor.gnn_stacks.{m}.edge_fn", block["edge"], out)
+        _mlp_ln_export(f"{epd}._processor.gnn_stacks.{m}.node_fn", block["node"], out)
+    _mlp_export(f"{epd}._decoder.node_fn", params["epd"]["decoder"], out)
+    if "type_embedding" in params:
+        out["_particle_type_embedding.weight"] = np.asarray(
+            params["type_embedding"]["table"]
+        )
+    return out
+
+
+def export_multi_scale(params: dict) -> Dict[str, np.ndarray]:
+    """sgnn_tpu multi-scale params -> reference MultiScaleSimulator
+    state_dict (inverse of import_multi_scale)."""
+    g = "_multi_scale_gnn"
+    gnn = params["gnn"]
+    out: Dict[str, np.ndarray] = {}
+    for enc in ("grid_node_encoder", "g2m_edge_encoder", "m2m_edge_encoder",
+                "m2g_edge_encoder"):
+        _mlp_ln_export(f"{g}.{enc}", gnn[enc], out)
+
+    def block(prefix, b):
+        _mlp_ln_export(f"{prefix}.edge_fn", b["edge"], out)
+        _mlp_ln_export(f"{prefix}.node_fn", b["node"], out)
+
+    block(f"{g}.g2m_block", gnn["g2m_block"])
+    for m, b in enumerate(gnn["m2m_blocks"]):
+        block(f"{g}.m2m_blocks.{m}", b)
+    block(f"{g}.m2g_block", gnn["m2g_block"])
+    _mlp_export(f"{g}.prediction_head", gnn["prediction_head"], out)
+    if "type_embedding" in params:
+        out["_particle_type_embedding.weight"] = np.asarray(
+            params["type_embedding"]["table"]
+        )
+    return out

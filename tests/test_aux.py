@@ -161,3 +161,80 @@ def test_render_rollout_gif(tmp_path, rng):
         pickle.dump(rollout, f)
     out2 = render_rollout_file(tmp_path / "case.pkl", tmp_path / "case2.gif", fps=2)
     assert out2.exists()
+
+
+def test_parity_vs_checkpoint_driver(tmp_path):
+    """scripts/parity_vs_checkpoint.py end-to-end against the committed
+    golden oracle weights as a reference-checkpoint stand-in (VERDICT r4
+    missing #1): export the golden single-scale params into the
+    reference state_dict naming, feed them + the fixture inputs through
+    the driver, and require every expect/ stage (torch-oracle bytes) to
+    pass; a corrupted weight must fail."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    import numpy as np
+
+    from sgnn_tpu.utils.torch_import import (
+        export_single_scale,
+        import_single_scale,
+    )
+    from test_golden_parity import unflatten_params
+
+    fix = np.load(Path(__file__).parent / "fixtures" / "golden_sim.npz")
+    flat = {
+        k[len("ss/param/"):]: fix[k] for k in fix.files
+        if k.startswith("ss/param/")
+    }
+    params = {"epd": unflatten_params(flat)}
+    params["type_embedding"] = {"table": fix["ss/emb_table"]}
+
+    sd = export_single_scale(params)
+    # round-trip sanity: import(export(params)) == params bytes
+    rt = import_single_scale(sd)
+    import jax
+
+    for a, b in zip(jax.tree.leaves(rt), jax.tree.leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    ckpt = tmp_path / "ref_ckpt.npz"
+    np.savez(ckpt, **sd)
+
+    n, s, dim, k, d, steps, nlayers, ntypes = (int(v) for v in fix["ss/meta"])
+    r, wall_x = (float(v) for v in fix["ss/radius"])
+    inp = {
+        "position_sequence": fix["ss/seq"],
+        "particle_types": fix["ss/types"],
+        "vel_mean": fix["ss/vel_mean"],
+        "vel_std": fix["ss/vel_std"],
+        "acc_mean": fix["ss/acc_mean"],
+        "acc_std": fix["ss/acc_std"],
+        "expect/node_feat": fix["ss/node_feat"],
+        "expect/output": np.concatenate(
+            [fix["ss/golden_norm_acc"], fix["ss/golden_strain"][:, None]], axis=1
+        ),
+        "expect/next_positions": fix["ss/golden_next_pos"],
+    }
+    inp_path = tmp_path / "input.npz"
+    np.savez(inp_path, **inp)
+
+    cmd = [
+        sys.executable, str(Path(__file__).parent.parent / "scripts" /
+                            "parity_vs_checkpoint.py"),
+        "--checkpoint", str(ckpt), "--input", str(inp_path),
+        "--radius", str(r), "--max-neighbors", str(k),
+        "--wall-x", str(wall_x), "--tol", "2e-4",
+    ]
+    res = subprocess.run(cmd, capture_output=True, text=True)
+    assert res.returncode == 0, res.stdout + res.stderr
+    assert "3/3 provided stages within tol" in res.stdout
+
+    # corrupting one weight must FAIL the activation stages
+    sd_bad = dict(sd)
+    key = "_encode_process_decode._encoder.node_fn.0.NN-0.weight"
+    sd_bad[key] = sd_bad[key] + 0.1
+    np.savez(ckpt, **sd_bad)
+    res = subprocess.run(cmd, capture_output=True, text=True)
+    assert res.returncode == 1, res.stdout + res.stderr
+    assert "FAIL" in res.stdout
