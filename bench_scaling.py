@@ -197,7 +197,7 @@ def run_ms_graph_at(num_shards, n_particles, layers, hidden, s, iters):
     n = pos.shape[0]
     sim_cfg = MultiScaleSimulatorConfig(
         dim=2, latent_dim=hidden, num_message_passing_steps=layers,
-        input_sequence_length=2, num_scales=2, window_size=2,
+        input_sequence_length=s, num_scales=2, window_size=2,
         compute_dtype="bfloat16",
     )
     stats = NormStats(jnp.zeros(2), jnp.ones(2), jnp.zeros(2), jnp.ones(2))
@@ -206,7 +206,7 @@ def run_ms_graph_at(num_shards, n_particles, layers, hidden, s, iters):
     spec, order, sgraph = plan_ms_partition(
         sim_cfg.graph_config, pos, num_shards
     )
-    s_ms = 2
+    s_ms = s  # --seq flows through (ADVICE r4: was hardcoded to 2)
     seq = (
         pos[order][:, None, :]
         + rng.normal(scale=0.002, size=(n, s_ms, 2)).cumsum(1)

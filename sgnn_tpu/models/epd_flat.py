@@ -308,6 +308,11 @@ def _process_decode(
     proj_j already cast to compute_dtype (bf16 halo exchange ships half
     the bytes). Mutually exclusive with ``rev``/``xj0``.
     """
+    # enforce the documented exclusivity: a caller passing both would get
+    # rev/xj0 silently ignored, changing the VJP path (ADVICE r4)
+    assert gather_fn is None or (rev is None and xj0 is None), (
+        "gather_fn is mutually exclusive with rev/xj0"
+    )
     m = x.shape[0]
     d = x.shape[-1]
     # valid-slot counts for the pallas kernel (slot < degree recovers the
