@@ -120,6 +120,17 @@ class SimulatorConfig:
     # guard). An in-op cond fallback was tried and reverted (7x step
     # regression — see banded_gather_rows). None = off.
     band_nodes: Optional[int] = None
+    # Node-count ceiling for the fused packed 3-stream gather
+    # (ops/sym_gather.packed_sym_gather). Above it forward_batched keeps
+    # the symmetric gather-based VJP but builds the reverse index
+    # separately and runs the unfused path: the packed path's gathered
+    # f32 [M*K, dim+K+H] block crosses the compiler's 2^31-byte
+    # single-buffer ceiling near 1M nodes (2.9 GB at 1.2M — the r4
+    # compile-crash bisection), while the unfused path's largest buffer
+    # is the [M*K, H] sender gather (1.26 GB bf16 at 1.2M). 800k keeps
+    # every proven-to-compile config (<=614k nodes) on the fast fused
+    # path.
+    packed_gather_max_nodes: int = 800_000
     # Max occupants read per grid cell in the cell-list searches (cells
     # have side = radius). Cells holding more particles than this
     # silently drop the overflow, so it must be >= the densest cell's
@@ -411,7 +422,7 @@ def forward_batched(
             params, cfg, stats, position_sequences, particle_types
         ).reshape(b * n, -1)
         flat_last = last.reshape(b * n, -1)
-        if cfg.symmetric_gather:
+        if cfg.symmetric_gather and b * n <= cfg.packed_gather_max_nodes:
             # packed-gather fast path: edge features, reverse-edge index
             # and layer 0's sender gather ride ONE row gather
             from sgnn_tpu.models.epd_flat import (
@@ -435,6 +446,17 @@ def forward_batched(
             return _with_aux(
                 (pred[..., : cfg.dim], pred[..., -1]), senders, nl.mask
             )
+        if cfg.symmetric_gather:
+            # past packed_gather_max_nodes the packed f32 table's gathered
+            # output ([M*K, dim+K+H] f32) would cross the compiler's 2^31-
+            # byte single-buffer ceiling (2.9 GB at 1.2M nodes — the r4
+            # HTTP-500 hypothesis); keep the symmetric scatter-free VJP
+            # but build the reverse index separately and run the unfused
+            # path, whose largest buffer is the [M*K, H] sender gather
+            # (1.26 GB bf16 at 1.2M).
+            from sgnn_tpu.ops.sym_gather import reverse_edge_positions
+
+            rev = reverse_edge_positions(senders, nl.mask)
         degrees = jnp.sum(nl.mask, axis=-1, keepdims=True).astype(jnp.float32)
         disp = (flat_last[senders] - flat_last[:, None, :]) / cfg.connectivity_radius
         dist = jnp.linalg.norm(disp, axis=-1, keepdims=True)

@@ -459,3 +459,48 @@ def test_remat_matches_plain(rng):
     g_got = jax.grad(lambda p: jnp.sum(run(p, True) ** 2))(params)
     for a, b_ in zip(jax.tree.leaves(g_got), jax.tree.leaves(g_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-6, atol=1e-7)
+
+
+def test_forward_batched_unpacked_sym_over_threshold(rng):
+    """Above packed_gather_max_nodes, forward_batched keeps the symmetric
+    gather-based VJP but drops the packed 3-stream gather (whose f32
+    gathered block crosses the 2^31-byte buffer ceiling near 1M nodes).
+    Forced here with a tiny threshold: outputs match the fused path
+    bit-for-bit in f32 (same math, different plumbing) and grads match
+    the plain-VJP reference."""
+    import dataclasses
+
+    from sgnn_tpu.physics.simulator import (
+        NormStats, SimulatorConfig, forward_batched, simulator_init,
+    )
+
+    b, n, s = 2, 48, 4
+    base = SimulatorConfig(
+        dim=2, latent_dim=16, num_message_passing_steps=2,
+        input_sequence_length=s, connectivity_radius=0.6, max_neighbors=12,
+        domain=((-2.5, -2.5), (2.5, 2.5)), symmetric_gather=True,
+    )
+    stats = NormStats(jnp.zeros(2), jnp.ones(2), jnp.zeros(2), jnp.ones(2))
+    params = simulator_init(jax.random.key(0), base)
+    pos = rng.uniform(-1.5, 1.5, size=(b, n, 2)).astype(np.float32)
+    seq = jnp.asarray((pos[:, :, None, :]
+           + rng.normal(scale=0.01, size=(b, n, s, 2)).cumsum(2)).astype(np.float32))
+    types = jnp.zeros((b, n), jnp.int32)
+
+    cfg_unpacked = dataclasses.replace(base, packed_gather_max_nodes=1)
+    assert b * n > cfg_unpacked.packed_gather_max_nodes
+
+    ref = forward_batched(params, base, stats, seq, types, use_pallas=False)
+    got = forward_batched(params, cfg_unpacked, stats, seq, types, use_pallas=False)
+    for a, b_ in zip(got, ref):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+    def loss(p, cfg):
+        acc, strain = forward_batched(p, cfg, stats, seq, types, use_pallas=False)
+        return jnp.sum(acc**2) + jnp.sum(strain**2)
+
+    g_plain = jax.grad(lambda p: loss(p, dataclasses.replace(
+        base, symmetric_gather=False)))(params)
+    g_unpacked = jax.grad(lambda p: loss(p, cfg_unpacked))(params)
+    for a, b_ in zip(jax.tree.leaves(g_unpacked), jax.tree.leaves(g_plain)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=5e-5, atol=1e-6)
