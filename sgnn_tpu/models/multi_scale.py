@@ -297,6 +297,8 @@ def _interact_dense(
     de,
     sorted_receivers: bool = False,
     compute_dtype=None,
+    *,
+    x_sender_table: jnp.ndarray = None,
 ) -> tuple:
     """One interaction step over DenseEdges (multi_scale_graph.DenseEdges).
 
@@ -321,16 +323,20 @@ def _interact_dense(
     n = x.shape[0]
     dt = e.dtype if compute_dtype is None else compute_dtype
     maskf = de.mask[..., None].astype(dt)
+    # x_sender_table: the table de.senders indexes into (default x) — the
+    # graph-partitioned hook pointing senders at halo-extended latents
+    # (parallel/ms_partition.py), same contract as _interact's.
+    xs = x if x_sender_table is None else x_sender_table
 
     (w_i, w_j, w_e), b_e = _split_first_layer(block["edge"]["mlp"], (d, d, d))
     proj_i = _sorted_gather(
         jnp.dot(x, w_i, preferred_element_type=x.dtype), de.recv, n
     )  # [R, H]
-    proj_j = jnp.dot(x, w_j, preferred_element_type=x.dtype)  # [N, H]
+    proj_j = jnp.dot(xs, w_j, preferred_element_type=x.dtype)  # [N(ext), H]
     if compute_dtype is not None:
         proj_j = proj_j.astype(dt)
     xj = _planned_gather(
-        proj_j, de.senders, de.tsp_rows, de.tsp_node, de.tsp_mask, n
+        proj_j, de.senders, de.tsp_rows, de.tsp_node, de.tsp_mask, xs.shape[0]
     )  # [R, K, H]
     h = (
         proj_i.astype(dt)[:, None, :]
@@ -374,6 +380,8 @@ def _interact_dense_scales(
     des,  # sequence of DenseEdges (disjoint edge sets over the same nodes)
     sorted_receivers: bool = False,
     compute_dtype=None,
+    *,
+    x_sender_table: jnp.ndarray = None,
 ) -> tuple:
     """One interaction step over a UNION of dense edge sets (per-scale m2m).
 
@@ -394,10 +402,11 @@ def _interact_dense_scales(
     d = x.shape[-1]
     n = x.shape[0]
     dt = es[0].dtype if compute_dtype is None else compute_dtype
+    xs = x if x_sender_table is None else x_sender_table
 
     (w_i, w_j, w_e), b_e = _split_first_layer(block["edge"]["mlp"], (d, d, d))
     proj_i_full = jnp.dot(x, w_i, preferred_element_type=x.dtype)  # [N, H]
-    proj_j = jnp.dot(x, w_j, preferred_element_type=x.dtype)  # [N, H]
+    proj_j = jnp.dot(xs, w_j, preferred_element_type=x.dtype)  # [N(ext), H]
     if compute_dtype is not None:
         proj_j = proj_j.astype(dt)
     w_e_dt = w_e.astype(dt)
@@ -410,7 +419,8 @@ def _interact_dense_scales(
         maskf = de.mask[..., None].astype(dt)
         proj_i = _sorted_gather(proj_i_full, de.recv, n)  # [R_s, H]
         xj = _planned_gather(
-            proj_j, de.senders, de.tsp_rows, de.tsp_node, de.tsp_mask, n
+            proj_j, de.senders, de.tsp_rows, de.tsp_node, de.tsp_mask,
+            xs.shape[0],
         )  # [R_s, K_s, H]
         h = (
             proj_i.astype(dt)[:, None, :]

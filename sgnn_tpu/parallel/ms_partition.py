@@ -73,6 +73,24 @@ class ShardedMSGraph(NamedTuple):
     m2g: ShardedEdges
 
 
+class ShardedDenseMSGraph(NamedTuple):
+    """Dense-slot sharded static graph: the fast layout under partitioning.
+
+    Each field holds DenseEdges with a leading [P] shard axis; receivers
+    index the LOCAL slab (0..per-1), senders and the transpose plan index
+    the halo-EXTENDED per-shard array (0..per+2*halo-1). m2m is a tuple
+    of per-scale DenseEdges (tight per-scale slot widths, see
+    physics/multi_scale_graph.DenseStaticGraph). This is what lets the
+    partitioned path run models/multi_scale._interact_dense — the layout
+    that wins ~1.7x over COO at capacity scales (BASELINE.md r4 sweep)
+    but was unreachable under graph_parallel in r4 (VERDICT r4 weak #4).
+    """
+
+    g2m: object  # DenseEdges, [P, ...] leaves
+    m2m: tuple  # per-scale DenseEdges, [P, ...] leaves
+    m2g: object  # DenseEdges, [P, ...] leaves
+
+
 def _shard_edges(
     senders: np.ndarray,
     receivers: np.ndarray,
@@ -105,6 +123,63 @@ def _shard_edges(
     return ShardedEdges(s_out, r_out, m_out)
 
 
+def _shard_dense_edges(
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    spec: PartitionSpec1D,
+    sizes: Tuple[int, int, int, int],
+):
+    """Per-shard DenseEdges (stacked on a leading [P] axis) from global
+    x-sorted COO edges. sizes = (rows_pad, k_slots, tsp_rows_pad,
+    tsp_slots), common across shards (and trajectories when pinned)."""
+    from sgnn_tpu.physics.multi_scale_graph import CooEdges, dense_edges
+
+    per, halo, p = spec.nodes_per_shard, spec.halo, spec.num_shards
+    rows_pad, k_slots, tsp_rows_pad, tsp_slots = sizes
+    ext = per + 2 * halo
+    shard = receivers // per
+    parts = []
+    for sh in range(p):
+        sel = shard == sh
+        s = senders[sel] - sh * per + halo
+        r = receivers[sel] - sh * per
+        if len(s) and (s.min() < 0 or s.max() >= ext):
+            raise ValueError(
+                f"shard {sh}: sender outside the halo window — plan invalid"
+            )
+        parts.append(
+            dense_edges(
+                CooEdges(s.astype(np.int64), r.astype(np.int64)),
+                per, rows_pad, k_slots,
+                tsp_rows_pad=tsp_rows_pad, tsp_slots=tsp_slots,
+                num_sender_nodes=ext,
+            )
+        )
+    return jax.tree.map(lambda *xs: np.stack(xs), *parts)
+
+
+def _dense_shard_sizes(
+    senders: np.ndarray, receivers: np.ndarray, per: int, num_shards: int,
+    pad_multiple: int = 8,
+) -> Tuple[int, int, int, int]:
+    """(rows, K, tsp_rows, tsp_K) maxima over shards for one edge set."""
+    shard = receivers // per
+    r_max = k_max = sr_max = sk_max = 1
+    for sh in range(num_shards):
+        sel = shard == sh
+        if not sel.any():
+            continue
+        _, counts = np.unique(receivers[sel], return_counts=True)
+        r_max = max(r_max, len(counts))
+        k_max = max(k_max, int(counts.max()))
+        _, scounts = np.unique(senders[sel], return_counts=True)
+        sr_max = max(sr_max, len(scounts))
+        sk_max = max(sk_max, int(scounts.max()))
+    up = lambda v, m: -(-v // m) * m
+    return (up(r_max, pad_multiple), up(k_max, 4), up(sr_max, pad_multiple),
+            up(sk_max, 4))
+
+
 def plan_ms_partition(
     ms_cfg: MultiScaleConfig,
     grid_positions: np.ndarray,  # [N, dim] trajectory t=0 positions
@@ -115,6 +190,8 @@ def plan_ms_partition(
     nodes_per_shard: Optional[int] = None,
     halo: Optional[int] = None,
     e_pads: Optional[Dict[str, int]] = None,
+    layout: str = "coo",
+    dense_sizes: Optional[dict] = None,
 ) -> Tuple[PartitionSpec1D, np.ndarray, ShardedMSGraph]:
     """Host-side exact partition plan for one trajectory's static graph.
 
@@ -126,6 +203,13 @@ def plan_ms_partition(
 
     Pass nodes_per_shard / halo / e_pads to pin shapes across the plans
     of different trajectories (one compiled program serves them all).
+
+    layout="dense" returns a ShardedDenseMSGraph instead (per-shard
+    dense slots + transpose plans, m2m per scale) — the fast layout; the
+    hierarchy is static so the plans are exactly as host-computable as
+    the COO remap. dense_sizes optionally pins the per-type size tuples
+    ({"g2m": (rows, K, tsp_rows, tsp_K), "m2m": [per-scale...],
+    "m2g": ...}) across trajectories.
     """
     grid_positions = np.asarray(grid_positions)
     n = grid_positions.shape[0]
@@ -166,6 +250,35 @@ def plan_ms_partition(
         raise ValueError(f"pinned halo {halo} < needed {halo_needed}")
     spec = PartitionSpec1D(num_shards, per, halo)
 
+    if layout == "dense":
+        ds = dense_sizes or {}
+        per_scale = [
+            (np.asarray(e.senders), np.asarray(e.receivers))
+            for e in edges["mesh2mesh_edges_per_scale"]
+        ]
+
+        def sizes_for(s, r, pinned):
+            return pinned if pinned is not None else _dense_shard_sizes(
+                s, r, per, num_shards, pad_multiple
+            )
+
+        g2m_sr = (np.asarray(types["g2m"].senders), np.asarray(types["g2m"].receivers))
+        m2g_sr = (np.asarray(types["m2g"].senders), np.asarray(types["m2g"].receivers))
+        m2m_pinned = ds.get("m2m") or [None] * len(per_scale)
+        graph = ShardedDenseMSGraph(
+            g2m=_shard_dense_edges(
+                *g2m_sr, spec, sizes_for(*g2m_sr, ds.get("g2m"))
+            ),
+            m2m=tuple(
+                _shard_dense_edges(s, r, spec, sizes_for(s, r, m2m_pinned[i]))
+                for i, (s, r) in enumerate(per_scale)
+            ),
+            m2g=_shard_dense_edges(
+                *m2g_sr, spec, sizes_for(*m2g_sr, ds.get("m2g"))
+            ),
+        )
+        return spec, order, graph
+
     e_pads = e_pads or {}
     sharded = {}
     for name, e in types.items():
@@ -187,12 +300,14 @@ def ms_dataset_partition(
     *,
     pad_multiple: int = 8,
     halo_slack: float = 1.25,
+    layout: str = "coo",
 ):
     """Plans for every trajectory with ONE common set of static shapes.
 
     Returns (spec, plans) where plans[i] = (order_i, sharded_graph_i);
     every sharded graph has identical leaf shapes, so one compiled
-    program serves all trajectories.
+    program serves all trajectories. layout="dense" emits
+    ShardedDenseMSGraph plans (dense sizes pinned dataset-wide).
     """
     frames = [np.asarray(f) for f in frame0_list]
     if not frames:
@@ -203,16 +318,44 @@ def ms_dataset_partition(
         plan_ms_partition(
             ms_cfg, f, num_shards,
             pad_multiple=pad_multiple, halo_slack=halo_slack,
-            nodes_per_shard=per,
+            nodes_per_shard=per, layout=layout,
         )
         for f in frames
     ]
     halo = max(s.halo for s, _, _ in draft)
+    spec = PartitionSpec1D(num_shards, per, halo)
+    if layout == "dense":
+        def size_max(des):
+            # DenseEdges leaves are [P, ...]: (rows, K, tsp_rows, tsp_K)
+            return (
+                max(d.recv.shape[1] for d in des),
+                max(d.senders.shape[2] for d in des),
+                max(d.tsp_node.shape[1] for d in des),
+                max(d.tsp_rows.shape[2] for d in des),
+            )
+
+        dense_sizes = {
+            "g2m": size_max([g.g2m for _, _, g in draft]),
+            "m2m": [
+                size_max([g.m2m[s] for _, _, g in draft])
+                for s in range(len(draft[0][2].m2m))
+            ],
+            "m2g": size_max([g.m2g for _, _, g in draft]),
+        }
+        plans = [
+            plan_ms_partition(
+                ms_cfg, f, num_shards,
+                pad_multiple=pad_multiple, halo_slack=halo_slack,
+                nodes_per_shard=per, halo=halo, layout="dense",
+                dense_sizes=dense_sizes,
+            )[1:]
+            for f in frames
+        ]
+        return spec, plans
     e_pads = {
         t: max(getattr(g, t).senders.shape[1] for _, _, g in draft)
         for t in ("g2m", "m2m", "m2g")
     }
-    spec = PartitionSpec1D(num_shards, per, halo)
     plans = [
         plan_ms_partition(
             ms_cfg, f, num_shards,
@@ -313,6 +456,76 @@ def _ms_sharded_forward(
     return pred[:, : cfg.dim], pred[:, -1]
 
 
+def _ms_sharded_forward_dense(
+    params: Params,
+    cfg: MultiScaleSimulatorConfig,
+    spec: PartitionSpec1D,
+    axis: str,
+    stats: NormStats,
+    position_sequence: jnp.ndarray,  # [N_local, S, dim]
+    particle_types: jnp.ndarray,  # [N_local]
+    graph,  # per-shard ShardedDenseMSGraph leaves
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Distributed dense-slot MultiScaleGNN forward on one shard.
+
+    Thin wrapper over models/multi_scale._interact_dense /
+    _interact_dense_scales (ONE tuned implementation per layout): each
+    block refreshes the halo-extended latents and points the sender
+    table/transpose plan at them; receiver projections, slot
+    aggregation, the per-scale m2m split and the mixed-precision
+    contract are the single-device dense code path.
+    """
+    from sgnn_tpu.models.multi_scale import (
+        _interact_dense,
+        _interact_dense_scales,
+    )
+
+    halo = spec.halo
+    gc = cfg.graph_config
+    last = position_sequence[:, -1]
+    pos_ext = _halo_exchange(last, halo, axis)
+
+    node_f = _ms_node_features(params, cfg, stats, position_sequence, particle_types)
+
+    def edge_feats(de, radius):
+        disp = (pos_ext[de.senders] - last[de.recv][:, None, :]) / radius
+        dist = jnp.linalg.norm(disp, axis=-1, keepdims=True)
+        f = jnp.concatenate([disp, dist], axis=-1)
+        return f * de.mask[..., None].astype(f.dtype)
+
+    gnn = params["gnn"]
+    cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+    x = mlp_ln_apply(gnn["grid_node_encoder"], node_f)
+
+    def enc(name, de, radius):
+        out = mlp_ln_apply(gnn[name], edge_feats(de, radius))
+        out = out * de.mask[..., None].astype(x.dtype)
+        return out.astype(cd) if cd is not None else out
+
+    e_g2m = enc("g2m_edge_encoder", graph.g2m, gc.grid_radius)
+    e_m2m = [
+        enc("m2m_edge_encoder", de, gc.coarsest_radius) for de in graph.m2m
+    ]
+    e_m2g = enc("m2g_edge_encoder", graph.m2g, gc.grid_radius)
+
+    x, e_g2m = _interact_dense(
+        gnn["g2m_block"], x, e_g2m, graph.g2m, sorted_receivers=True,
+        compute_dtype=cd, x_sender_table=_halo_exchange(x, halo, axis),
+    )
+    for block in gnn["m2m_blocks"]:
+        x, e_m2m = _interact_dense_scales(
+            block, x, e_m2m, graph.m2m, sorted_receivers=True,
+            compute_dtype=cd, x_sender_table=_halo_exchange(x, halo, axis),
+        )
+    x, e_m2g = _interact_dense(
+        gnn["m2g_block"], x, e_m2g, graph.m2g, sorted_receivers=True,
+        compute_dtype=cd, x_sender_table=_halo_exchange(x, halo, axis),
+    )
+
+    pred = mlp_apply(gnn["prediction_head"], x)
+    return pred[:, : cfg.dim], pred[:, -1]
+
+
 def _build_ms_forward(
     mesh: Mesh,
     cfg: MultiScaleSimulatorConfig,
@@ -323,17 +536,24 @@ def _build_ms_forward(
     """Unjitted global distributed forward over `mesh`'s `axis`.
 
     Inputs: position_sequence [N_total, S, dim], particle_types
-    [N_total] (node axis sharded), graph = ShardedMSGraph with [P, E_pad]
-    leaves sharded on their leading axis. Returns (norm_acc, strain).
+    [N_total] (node axis sharded), graph = ShardedMSGraph (COO) or
+    ShardedDenseMSGraph (dense slots) with per-shard leaves sharded on
+    their leading axis — the layout picks the sharded forward.
+    Returns (norm_acc, strain).
     """
     from jax import shard_map
 
     fwd = functools.partial(_ms_sharded_forward, cfg=cfg, spec=spec, axis=axis, stats=stats)
+    fwd_dense = functools.partial(
+        _ms_sharded_forward_dense, cfg=cfg, spec=spec, axis=axis, stats=stats
+    )
 
     def wrapped(params, position_sequence, particle_types, graph):
+        run = fwd_dense if isinstance(graph, ShardedDenseMSGraph) else fwd
+
         def body(p, ps, pt, g):
-            g = jax.tree.map(lambda a: a[0], g)  # [1, E_pad] -> [E_pad]
-            return fwd(params=p, position_sequence=ps, particle_types=pt, graph=g)
+            g = jax.tree.map(lambda a: a[0], g)  # [1, ...] -> per-shard
+            return run(params=p, position_sequence=ps, particle_types=pt, graph=g)
 
         return shard_map(
             body,

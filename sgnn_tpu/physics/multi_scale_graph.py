@@ -286,13 +286,21 @@ def dense_edges(
     *,
     tsp_rows_pad: Optional[int] = None,
     tsp_slots: Optional[int] = None,
+    num_sender_nodes: Optional[int] = None,
 ) -> DenseEdges:
     """Group COO edges by receiver into dense [R, K] slots (+ sender plan).
 
     tsp_rows_pad / tsp_slots size the transpose plan (distinct senders /
     max out-degree); defaults fit this edge set exactly (pass dataset-
     wide maxima when batching graphs of different trajectories).
+
+    num_sender_nodes: size of the SENDER index space when it differs
+    from the receiver space — the graph-partitioned path indexes senders
+    into the halo-EXTENDED per-shard table while receivers stay local
+    (parallel/ms_partition.py). Pads of sender-space arrays (tsp_node)
+    use its last row; receiver pads keep num_nodes-1.
     """
+    sender_last = (num_sender_nodes or num_nodes) - 1
     recv_ids, counts = np.unique(edges.receivers, return_counts=True)
     r = len(recv_ids)
     if r > r_pad:
@@ -329,7 +337,7 @@ def dense_edges(
         raise ValueError(f"sender count {rs} exceeds plan pad {rs_pad}")
     if rs and int(scounts.max()) > ks:
         raise ValueError(f"max out-degree {int(scounts.max())} exceeds plan slots {ks}")
-    tsp_node = np.full(rs_pad, last, np.int32)
+    tsp_node = np.full(rs_pad, sender_last, np.int32)
     tsp_node[:rs] = snd_ids
     tsp_rows = np.zeros((rs_pad, ks), np.int32)
     tsp_mask = np.zeros((rs_pad, ks), bool)

@@ -398,10 +398,15 @@ def train(cfg: TrainConfig) -> dict:
             raise ValueError("data_parallel and graph_parallel are mutually exclusive")
         if cfg.batch_size != 1:
             raise ValueError("graph_parallel requires batch_size: 1")
+        # ms_dense: True routes the partitioned path through the dense
+        # layout (per-shard DenseEdges + transpose plans — the layout
+        # that wins ~1.7x at capacity scales); "auto"/False stay COO
+        # (the auto cost model is calibrated for the single-device path)
         ms_spec, ms_plans = ms_dataset_partition(
             ms_graph_cfg,
             [pos[0] for pos, _, _ in batcher.trajectories],
             cfg.graph_parallel,
+            layout="dense" if cfg.ms_dense is True else "coo",
         )
         gmesh = make_mesh(data=1, graph=cfg.graph_parallel)
         part_kw = dict(
