@@ -61,8 +61,9 @@ def run_one(n_particles, batch):
         # (ny indices) -> banded gathers apply (ops/sym_gather.py)
         band_nodes=max(int(np.sqrt(n_particles / 4)), 2) + 8,
         # layer remat: the un-rematerialized 614k+ train step exceeds
-        # 16 GB HBM (ResourceExhausted)
-        remat=n_particles >= 500_000,
+        # 16 GB HBM (ResourceExhausted). REMAT=xj_msg additionally saves
+        # the edge messages (less bwd recompute, +629 MB/layer at 614k).
+        remat=(os.environ.get("REMAT") or (n_particles >= 500_000)),
     )
     stats = NormStats(jnp.zeros(2), jnp.ones(2), jnp.zeros(2), jnp.ones(2))
     cfg = TrainConfig(batch_size=batch, noise_std=0.02, input_sequence_length=S,

@@ -369,6 +369,10 @@ def _process_decode(
             e, msg = _edge_block_xla(
                 step_params["edge"], e, xj, proj_i, maskf, w_e, b_e, k
             )
+            # named for the remat="xj_msg" policy: also saving the edge
+            # messages skips recomputing the edge-MLP dots in bwd
+            # (+1 bf16 [M*K, H] residual per layer — 629 MB at 614k)
+            msg = jax.ad_checkpoint.checkpoint_name(msg, "msg")
             agg = None
 
         # node update: node_fn(cat[agg, x]) + residual (graph_network.py:220)
@@ -420,14 +424,18 @@ def _process_decode(
     # it would repeat the layer's banded/large-table gather in bwd —
     # 614k: 808.9 ms full remat vs the policy's number in BASELINE.md);
     # everything else (MXU dots, LN, masks) recomputes.
-    layer_fn = (
-        jax.checkpoint(
+    # everything else (MXU dots, LN, masks) recomputes. remat="xj_msg"
+    # additionally saves the edge messages (the edge-MLP output), so the
+    # bwd recompute is just LN/masks — trades +629 MB/layer at 614k for
+    # the ~25 ms of recomputed edge dots.
+    if remat:
+        names = ("xj", "msg") if remat == "xj_msg" else ("xj",)
+        layer_fn = jax.checkpoint(
             _layer,
-            policy=jax.checkpoint_policies.save_only_these_names("xj"),
+            policy=jax.checkpoint_policies.save_only_these_names(*names),
         )
-        if remat
-        else _layer
-    )
+    else:
+        layer_fn = _layer
     for li, step_params in enumerate(params["processor"]):
         x, e = layer_fn(step_params, x, e, xj0 if li == 0 else None)
 

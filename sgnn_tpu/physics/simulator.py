@@ -145,7 +145,11 @@ class SimulatorConfig:
     # scale (r1: 38.3 -> 40.8 ms) but the difference between running and
     # ResourceExhausted at 614k+ nodes (the un-rematerialized train step
     # holds ~2 [M*K, H] residual sets per layer). Capacity-scale knob.
-    remat: bool = False
+    # True (== "xj") saves only the gathered sender tensor per layer;
+    # "xj_msg" also saves the edge messages, skipping the bwd edge-MLP
+    # recompute for +1 bf16 [M*K, H] residual per layer (629 MB at 614k)
+    # — use when HBM still has headroom at the target N.
+    remat: object = False  # False | True | "xj" | "xj_msg"
 
     @property
     def slots(self) -> int:
