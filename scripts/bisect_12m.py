@@ -9,8 +9,10 @@ program construct fails at a given N:
   python scripts/bisect_12m.py <n_particles> <mode>
 
 modes: fwd (forward only), loss (fwd + loss), grad (value_and_grad),
-step (full train step incl. Adam), step_noremat, step_nobanded,
-step_nosym. Prints COMPILE OK / the full failure.
+step (full train step incl. Adam). Env flags toggle program features
+for any mode: BAND=0 (no banded gathers), REMAT=0 / REMAT=xj_msg,
+SYM=0 (plain scatter VJP instead of the symmetric gather VJP).
+Prints COMPILE OK / the full failure.
 """
 
 import os
@@ -53,13 +55,16 @@ def main():
         dim=2, latent_dim=HIDDEN, num_message_passing_steps=LAYERS,
         input_sequence_length=S, connectivity_radius=0.6, max_neighbors=20,
         neighbor_slots=8, domain=(tuple(extent[0]), tuple(extent[1])),
-        symmetric_gather=mode != "step_nosym",
+        symmetric_gather=os.environ.get("SYM", "1") != "0",
         compute_dtype="bfloat16",
         band_nodes=(
-            None if mode == "step_nobanded"
+            None if os.environ.get("BAND", "1") == "0"
             else max(int(np.sqrt(n_particles / 4)), 2) + 8
         ),
-        remat=mode != "step_noremat",
+        remat=(
+            False if os.environ.get("REMAT") == "0"
+            else (os.environ.get("REMAT") or True)
+        ),
     )
     stats = NormStats(jnp.zeros(2), jnp.ones(2), jnp.zeros(2), jnp.ones(2))
     params = simulator_init(jax.random.key(0), sim_cfg)

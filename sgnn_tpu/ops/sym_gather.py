@@ -181,6 +181,9 @@ def banded_gather_rows(
     idx: jnp.ndarray,
     band_rows: int,
     tile_rows: Optional[int] = None,
+    *,
+    map_rows: Optional[int] = None,
+    map_offset: int = 0,
 ) -> jnp.ndarray:
     """Exact ``table[idx]`` exploiting index BANDEDNESS.
 
@@ -207,8 +210,16 @@ def banded_gather_rows(
     Args:
       table: [E, H] rows.
       idx: integer indices, any shape; flattened to R output rows.
-      band_rows: static bound on |idx[i] - i*E/R|.
+      band_rows: static bound on |idx[i] - (i*MR/R + map_offset)| where
+        MR = map_rows or E.
       tile_rows: static output tile size (scan step granularity).
+      map_rows / map_offset: optional affine index map when the band is
+        NOT centered on i*E/R — the graph-partitioned paths gather from
+        halo-EXTENDED tables where output row i expects table row
+        i//K + halo (fwd senders: map_rows=n_local, map_offset=halo) or
+        i - halo*K (bwd reverse-gathers over local edge tables:
+        map_rows=R, map_offset=-halo*K). Defaults reproduce the
+        single-chip contract exactly.
 
     Returns table[idx] with shape idx.shape + (H,) (exact under the band
     contract).
@@ -220,15 +231,16 @@ def banded_gather_rows(
     # per-tile slice window: covers [start, start + tile span + 2*band]
     slice_rows = (tr * e) // r + 2 * band_rows + 2
     slice_rows = -(-slice_rows // 512) * 512
-    # exact int32 forms of i*E//R (i*E overflows int32 at these scales);
-    # every caller has R a multiple of E (reverse-gathers: R == E; sender
-    # gathers: R == E*K) or vice versa
-    if r % e == 0:
-        q = r // e
-        row_to_table = lambda i: i // q
-    elif e % r == 0:
-        q = e // r
-        row_to_table = lambda i: i * q
+    mr = map_rows or e
+    # exact int32 forms of i*MR//R (i*MR overflows int32 at these
+    # scales); every caller has R a multiple of MR (reverse-gathers:
+    # R == MR; sender gathers: R == MR*K) or vice versa
+    if r % mr == 0:
+        q = r // mr
+        row_to_table = lambda i: i // q + map_offset
+    elif mr % r == 0:
+        q = mr // r
+        row_to_table = lambda i: i * q + map_offset
     else:
         return table[flat].reshape(idx.shape + (h,))
     if slice_rows >= e:
@@ -294,7 +306,12 @@ def banded_gather_rows(
 
 
 def gather_rows(
-    table: jnp.ndarray, idx: jnp.ndarray, band_rows: Optional[int] = None
+    table: jnp.ndarray,
+    idx: jnp.ndarray,
+    band_rows: Optional[int] = None,
+    *,
+    map_rows: Optional[int] = None,
+    map_offset: int = 0,
 ) -> jnp.ndarray:
     """table[idx] for 2D tables, routing huge tables via banded tiling
     or row-packing.
@@ -308,7 +325,9 @@ def gather_rows(
     """
     rows, h = table.shape
     if band_rows is not None and _banded_worth(rows, int(np.prod(idx.shape))):
-        return banded_gather_rows(table, idx, band_rows)
+        return banded_gather_rows(
+            table, idx, band_rows, map_rows=map_rows, map_offset=map_offset
+        )
     flat = idx.reshape(-1)
     # Measured window (BASELINE.md capacity sweep): P=4 wins at 614k
     # rows (+24% on the N=76k step) but LOSES at 3M rows (both P=4 and
@@ -370,58 +389,78 @@ def band_violations(
     senders: jnp.ndarray,  # int32[..., K] sender indices, receiver-major rows
     mask: jnp.ndarray,  # bool[..., K]
     band_nodes: int,
+    halo: int = 0,
 ) -> jnp.ndarray:
     """Count neighbor-list entries violating the banded-gather contract.
 
     Returns an int32 scalar: the number of valid edges with
-    |sender - receiver| > band_nodes (receiver = row position along the
-    second-to-last axis). One check covers both banded directions: a
-    zero count implies the forward sender-gather band (band_nodes) AND
-    the reverse-gather band ((band_nodes + 1) * K) both hold, so every
-    banded_gather_rows in the step was exact. Mirrors the edge-partition
-    halo guard: surfaced as a metric, near-free to compute.
+    |sender - (receiver + halo)| > band_nodes (receiver = row position
+    along the second-to-last axis; halo offsets receiver rows into a
+    halo-extended sender index space, 0 on single-chip). One check
+    covers both banded directions: a zero count implies the forward
+    sender-gather band (band_nodes) AND the reverse-gather band
+    ((band_nodes + 1) * K) both hold, so every banded_gather_rows in
+    the step was exact. Mirrors the edge-partition halo guard: surfaced
+    as a metric, near-free to compute.
     """
     k = senders.shape[-1]
     m = senders.shape[-2]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (m, k), 0)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (m, k), 0) + halo
     rows = jnp.broadcast_to(rows, senders.shape)
     dev = jnp.abs(senders - rows)
     return jnp.sum((dev > band_nodes) & mask).astype(jnp.int32)
 
 
-def _maybe_banded_gather(table, idx, band_nodes):
+def _maybe_banded_gather(table, idx, band_nodes, halo=0):
     """Forward sender gather: banded when the node table is large and the
-    ordering is declared index-local (idx[i] within band_nodes of i//K)."""
+    ordering is declared index-local (idx[i] within band_nodes of
+    i//K + halo — the halo offset covers halo-extended per-shard
+    tables, see sym_gather)."""
     if band_nodes is not None and _banded_worth(
         table.shape[0], int(np.prod(idx.shape))
     ):
-        return banded_gather_rows(table, idx, band_nodes)
+        return banded_gather_rows(
+            table, idx, band_nodes,
+            map_rows=table.shape[0] - 2 * halo, map_offset=halo,
+        )
     return table[idx.reshape(-1)].reshape(idx.shape + (table.shape[-1],))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def sym_gather(table, idx, rev_pos, rev_mask, band_nodes=None):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def sym_gather(table, idx, rev_pos, rev_mask, band_nodes=None, halo=0):
     """table[idx] whose VJP gathers via the precomputed reverse index.
 
     band_nodes: optional static bound on |sender - receiver| (valid for
     spatially sorted node orderings); enables the banded fast path for
     both the forward sender gather and the backward reverse-gather at
     large row counts (see banded_gather_rows — runtime-guarded, exact).
+
+    halo: static left-halo row count when ``table`` is a halo-EXTENDED
+    per-shard table (parallel/edge_partition.py): output row i then
+    expects table row i//K + halo, and the backward reverse positions
+    over the [N_ext, K] row set expect local-edge-table row
+    (i - halo*K). 0 reproduces the single-chip band contract exactly.
     """
-    return _maybe_banded_gather(table, idx, band_nodes)
+    return _maybe_banded_gather(table, idx, band_nodes, halo=halo)
 
 
-def _sym_gather_fwd(table, idx, rev_pos, rev_mask, band_nodes):
-    return _maybe_banded_gather(table, idx, band_nodes), (idx, rev_pos, rev_mask)
+def _sym_gather_fwd(table, idx, rev_pos, rev_mask, band_nodes, halo):
+    return (
+        _maybe_banded_gather(table, idx, band_nodes, halo=halo),
+        (idx, rev_pos, rev_mask),
+    )
 
 
-def _sym_gather_bwd(band_nodes, res, cot):
+def _sym_gather_bwd(band_nodes, halo, res, cot):
     idx, rev_pos, rev_mask = res
     k = rev_pos.shape[-1]
     band = None if band_nodes is None else (band_nodes + 1) * k
     # cot: [E, H]; d_table[v] = sum over v's reverse-edge positions,
     # computed as an identity dot (see _slot_reduce_dot)
-    gathered = gather_rows(cot, rev_pos, band)  # [R, K, H]
+    gathered = gather_rows(
+        cot, rev_pos, band,
+        map_rows=int(np.prod(rev_pos.shape)), map_offset=-halo * k,
+    )  # [R, K, H]
     masked = gathered * rev_mask[..., None].astype(cot.dtype)
     return _slot_reduce_dot(masked, cot.dtype), None, None, None
 

@@ -255,6 +255,16 @@ def _sharded_forward(
         )
     senders = nl_ext.senders[halo : halo + n_local]  # [N_local, K] (ext idx)
     e_mask = nl_ext.mask[halo : halo + n_local]
+    if cfg.band_nodes is not None:
+        # banded-gather contract breaks fold into the same guard count
+        # as halo violations: both mean "this step's gathers were wrong
+        # — reject the update / replan", and the rejection gate already
+        # keys on the count being nonzero
+        from sgnn_tpu.ops.sym_gather import band_violations as _band_viol
+
+        violations = violations + jax.lax.psum(
+            _band_viol(senders, e_mask, cfg.band_nodes, halo), axis
+        )
 
     # --- node features (local) -------------------------------------------
     velocities = time_diff(position_sequence)
@@ -327,13 +337,26 @@ def _sharded_forward(
 
     def gather_fn(proj_j):
         # proj_j arrives already cast to compute_dtype, so the halo
-        # ppermutes ship bf16 strips in mixed-precision mode
+        # ppermutes ship bf16 strips in mixed-precision mode. band_nodes
+        # routes the large local gathers through the banded path exactly
+        # as on a single chip — the slab order preserves the global
+        # x-sort, so the same per-node band bound holds; the halo arg
+        # offsets the band center into ext coordinates (fwd: row + halo,
+        # bwd: edge pos - halo*K). At production shard sizes (614k/8 =>
+        # 77k local nodes, 617k-row local reverse tables) the bwd
+        # reverse-gathers sit squarely in the banded regime.
         ext = _halo_exchange(proj_j, halo, axis)
         if rev is None:
-            return ext[senders_flat]
+            from sgnn_tpu.ops.sym_gather import _maybe_banded_gather
+
+            return _maybe_banded_gather(
+                ext, senders_flat, cfg.band_nodes, halo=halo
+            )
         from sgnn_tpu.ops.sym_gather import sym_gather
 
-        return sym_gather(ext, senders_flat, rev[0], rev[1])
+        return sym_gather(
+            ext, senders_flat, rev[0], rev[1], cfg.band_nodes, halo
+        )
 
     pred = _process_decode(
         epd, x, e, senders_flat, maskf, k,

@@ -593,3 +593,68 @@ def test_rejection_tracker_contract():
     assert t.total == 4 and t.consecutive == 2
     with pytest.raises(RuntimeError, match="halo-contract"):
         t.update(True)
+
+
+def test_partitioned_banded_gathers_exact(mesh, monkeypatch):
+    """Per-shard banded gathers (VERDICT r4 #5): with band_nodes set and
+    the engagement thresholds forced down to test scale, the sharded
+    forward's banded fwd sender gathers and banded sym-VJP
+    reverse-gathers produce outputs and grads bit-equal to the unbanded
+    sharded path, and the guard counts zero violations (the halo offset
+    centers the band in ext coordinates correctly)."""
+    import dataclasses
+
+    from sgnn_tpu.ops import sym_gather as sg
+    from sgnn_tpu.parallel.edge_partition import (
+        _build_forward,
+        partition_plan,
+        scatter_to_shards,
+    )
+
+    cfg, stats, params, seq, n = setup()
+    # a bar lattice in x-major order: index distance <= one x-column +
+    # jitter; ny=8 per column, radius reaches ~2 columns
+    base = dataclasses.replace(
+        cfg, symmetric_gather=True, max_neighbors=20,
+        domain=((-2.0, -2.0), (40.0, 6.0)),
+    )
+    spec, order = partition_plan(seq[:, -1], 4, base.connectivity_radius)
+    seq_sorted = scatter_to_shards(seq, order, spec)
+    types = np.zeros(spec.total_nodes, np.int32)
+    mask = np.zeros(spec.total_nodes, bool)
+    mask[:n] = True
+
+    def run(band_cfg):
+        fwd = jax.jit(_build_forward(mesh, band_cfg, stats, spec, "graph"))
+        out = fwd(
+            params, jnp.asarray(seq_sorted), jnp.asarray(types),
+            jnp.asarray(mask),
+        )
+
+        def loss(p):
+            acc, strain, _ = fwd(
+                p, jnp.asarray(seq_sorted), jnp.asarray(types),
+                jnp.asarray(mask),
+            )
+            return jnp.sum(acc**2) + jnp.sum(strain**2)
+
+        return out, jax.grad(loss)(params)
+
+    (ref_acc, ref_strain, ref_v), ref_g = run(base)
+    assert int(ref_v) == 0
+
+    monkeypatch.setattr(sg, "_BANDED_MIN_ROWS", 64)
+    monkeypatch.setattr(sg, "_BANDED_MIN_FANOUT_ROWS", 64)
+    monkeypatch.setattr(sg, "_BANDED_TILE_ROWS", 128)
+    banded_cfg = dataclasses.replace(base, band_nodes=64)
+    (acc, strain, viol), g = run(banded_cfg)
+    assert int(viol) == 0  # band holds in ext coordinates
+    np.testing.assert_array_equal(np.asarray(acc), np.asarray(ref_acc))
+    np.testing.assert_array_equal(np.asarray(strain), np.asarray(ref_strain))
+    for a, b_ in zip(jax.tree.leaves(g), jax.tree.leaves(ref_g)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+    # a too-small band is CAUGHT by the guard (not silently wrong)
+    tight_cfg = dataclasses.replace(base, band_nodes=2)
+    (_, _, viol_bad), _ = run(tight_cfg)
+    assert int(viol_bad) > 0
