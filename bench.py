@@ -47,7 +47,7 @@ S = 11
 LAYERS = 5
 HIDDEN = 64
 WARMUP = 2
-ITERS = 10
+ITERS = int(os.environ.get("BENCH_ITERS", "10"))
 
 
 def lattice(n, spacing=0.5):
