@@ -203,8 +203,11 @@ def run_ms_graph_at(num_shards, n_particles, layers, hidden, s, iters):
     stats = NormStats(jnp.zeros(2), jnp.ones(2), jnp.zeros(2), jnp.ones(2))
     params = multi_scale_simulator_init(jax.random.key(0), sim_cfg)
     tx = optax.adam(1e-3)
+    # MS_DENSE=1: per-shard dense-slot plans (r5 — the fast layout under
+    # partitioning); default COO matches the r3/r4 anchor rows
     spec, order, sgraph = plan_ms_partition(
-        sim_cfg.graph_config, pos, num_shards
+        sim_cfg.graph_config, pos, num_shards,
+        layout="dense" if os.environ.get("MS_DENSE") else "coo",
     )
     s_ms = s  # --seq flows through (ADVICE r4: was hardcoded to 2)
     seq = (
@@ -217,7 +220,10 @@ def run_ms_graph_at(num_shards, n_particles, layers, hidden, s, iters):
     mask = np.zeros(nt, bool)
     mask[:n] = True
     counts = {
-        t: int(getattr(sgraph, t).mask.sum()) for t in ("g2m", "m2m", "m2g")
+        t: int(e.mask.sum() if hasattr(e, "mask")
+               else sum(d.mask.sum() for d in e))  # dense m2m: per-scale tuple
+        for t in ("g2m", "m2m", "m2g")
+        for e in [getattr(sgraph, t)]
     }
     batch = {
         "positions": jnp.asarray(seq_p),
@@ -257,9 +263,103 @@ def run_ms_graph_at(num_shards, n_particles, layers, hidden, s, iters):
     }
 
 
+def run_ms_single_at(n_particles, layers, hidden, s, iters):
+    """Matched-batch SINGLE-CHIP ms anchor: B=1, same lattice/model/seq
+    as run_ms_graph_at, single-device train step (the base the ms_graph
+    shards=1 rows compare against — VERDICT r4 #4a). MS_DENSE=1 uses the
+    dense layout (tight per-type/per-scale slots), default COO."""
+    from sgnn_tpu.physics.multi_scale_graph import (
+        build_dense_static_graph,
+        build_static_graph,
+        create_all_edges,
+    )
+    from sgnn_tpu.physics.multi_scale_simulator import (
+        MultiScaleSimulatorConfig,
+        multi_scale_simulator_init,
+    )
+    from sgnn_tpu.train.train_multi_scale import make_train_step as ms_step
+
+    rng = np.random.default_rng(0)
+    pos = lattice(n_particles)
+    n = pos.shape[0]
+    sim_cfg = MultiScaleSimulatorConfig(
+        dim=2, latent_dim=hidden, num_message_passing_steps=layers,
+        input_sequence_length=s, num_scales=2, window_size=2,
+        compute_dtype="bfloat16",
+    )
+    stats = NormStats(jnp.zeros(2), jnp.ones(2), jnp.zeros(2), jnp.ones(2))
+    gc = sim_cfg.graph_config
+    all_edges = create_all_edges(gc, pos)
+    counts = {
+        "g2m": len(all_edges["grid2mesh_edges"].senders),
+        "m2m": len(all_edges["mesh2mesh_edges"].senders),
+        "m2g": len(all_edges["mesh2grid_edges"].senders),
+    }
+    if os.environ.get("MS_DENSE"):
+        def deg(e):
+            c = np.bincount(np.asarray(e.receivers))
+            nz = c[c > 0]
+            return len(nz), int(nz.max())
+
+        g2m_r, g2m_k = deg(all_edges["grid2mesh_edges"])
+        m2g_r, m2g_k = deg(all_edges["mesh2grid_edges"])
+        ms_stats = [deg(e) for e in all_edges["mesh2mesh_edges_per_scale"]]
+        rpad = lambda r: -(-r // 128) * 128
+        graph1 = build_dense_static_graph(
+            gc, pos, g2m_rows=rpad(g2m_r), m2g_rows=rpad(m2g_r),
+            m2m_rows=[rpad(r) for r, _ in ms_stats],
+            g2m_slots=g2m_k, m2g_slots=m2g_k,
+            m2m_slots=[k for _, k in ms_stats],
+        )
+    else:
+        pad = lambda e: -(-e // 1024) * 1024
+        graph1 = build_static_graph(
+            gc, pos, g2m_pad=pad(counts["g2m"]), m2m_pad=pad(counts["m2m"]),
+            m2g_pad=pad(counts["m2g"]),
+        )
+    graph = jax.tree.map(lambda a: jnp.asarray(a)[None], graph1)
+    params = multi_scale_simulator_init(jax.random.key(0), sim_cfg)
+    tx = optax.adam(1e-3)
+    cfg = TrainConfig(batch_size=1, noise_std=0.001, input_sequence_length=s,
+                      hidden_dim=hidden, layers=layers,
+                      num_scales=2, window_size=2)
+    state = {"params": params, "opt_state": tx.init(params),
+             "step": jnp.asarray(0, jnp.int32)}
+    seq = (pos[None, :, None, :] + rng.normal(
+        scale=0.002, size=(1, n, s, 2)).cumsum(2)).astype(np.float32)
+    batch = {
+        "positions": jnp.asarray(seq),
+        "next_position": jnp.asarray(seq[:, :, -1] + 0.01),
+        "next_strain": jnp.zeros((1, n), jnp.float32),
+        "particle_type": jnp.zeros((1, n), jnp.int32),
+        "node_mask": jnp.ones((1, n), bool),
+        "graph": graph,
+    }
+    step = ms_step(sim_cfg, stats, cfg, tx)
+    key = jax.random.key(1)
+    state, m = step(state, batch, key)
+    jax.block_until_ready(m)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step(state, batch, key)
+    jax.block_until_ready(m)
+    dt = (time.perf_counter() - t0) / iters
+    updates = counts["g2m"] + counts["m2g"] + counts["m2m"] * layers
+    return {
+        "shards": 1,
+        "mode": "ms_single",
+        "layout": "dense" if os.environ.get("MS_DENSE") else "coo",
+        "nodes": n,
+        "edges": counts,
+        "step_time_ms": round(dt * 1e3, 2),
+        "edges_per_s": round(updates / dt, 1),
+    }
+
+
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--mode", choices=["dp", "graph", "ms_graph"], default="dp")
+    p.add_argument("--mode", choices=["dp", "graph", "ms_graph", "ms_single"],
+                   default="dp")
     p.add_argument("--batch-per-device", type=int, default=2)
     p.add_argument("--particles", type=int, default=1024)
     p.add_argument("--layers", type=int, default=5)
@@ -270,9 +370,14 @@ def main():
 
     total = len(jax.devices())
     counts = [c for c in [1, 2, 4, 8, 16, 32] if c <= total]
+    if args.mode == "ms_single":
+        counts = [1]
     results = []
     for c in counts:
-        if args.mode == "graph":
+        if args.mode == "ms_single":
+            r = run_ms_single_at(args.particles, args.layers, args.hidden,
+                                 args.seq, args.iters)
+        elif args.mode == "graph":
             r = run_graph_at(c, args.particles, args.layers, args.hidden,
                              args.seq, args.iters)
         elif args.mode == "ms_graph":
