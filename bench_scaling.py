@@ -118,11 +118,19 @@ def run_graph_at(num_shards, n_particles, layers, hidden, s, iters):
     # through the partitioned forward since r4 (it runs
     # epd_flat._process_decode with the halo gather hook); banded
     # gathers stay single-chip machinery (per-shard tables are small).
+    # GRAPH_BAND=1: per-shard banded gathers (r5 — the lattice feed is
+    # x-major sorted, same band bound as the single-chip sweep); REMAT
+    # env mirrors scripts/size_sweep.py for capacity-scale anchors.
     sim_cfg = SimulatorConfig(
         dim=2, latent_dim=hidden, num_message_passing_steps=layers,
         input_sequence_length=s, connectivity_radius=0.6, max_neighbors=20,
         neighbor_slots=8, domain=(tuple(lo.tolist()), tuple(hi.tolist())),
         compute_dtype="bfloat16", symmetric_gather=True,
+        band_nodes=(
+            max(int(np.sqrt(n_particles / 4)), 2) + 8
+            if os.environ.get("GRAPH_BAND") else None
+        ),
+        remat=(os.environ.get("REMAT") or n_particles >= 500_000),
     )
     stats = NormStats(jnp.zeros(2), jnp.ones(2), jnp.zeros(2), jnp.ones(2))
     params = simulator_init(jax.random.key(0), sim_cfg)

@@ -361,7 +361,7 @@ def _sharded_forward(
     pred = _process_decode(
         epd, x, e, senders_flat, maskf, k,
         use_pallas=False, rev=None, compute_dtype=compute_dtype,
-        gather_fn=gather_fn,
+        gather_fn=gather_fn, remat=cfg.remat,
     )
     return pred[:, : cfg.dim], pred[:, -1], violations
 

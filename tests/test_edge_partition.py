@@ -658,3 +658,39 @@ def test_partitioned_banded_gathers_exact(mesh, monkeypatch):
     tight_cfg = dataclasses.replace(base, band_nodes=2)
     (_, _, viol_bad), _ = run(tight_cfg)
     assert int(viol_bad) > 0
+
+
+def test_partitioned_remat_matches_plain(mesh):
+    """cfg.remat flows through the sharded forward (needed for 500k+-node
+    shards=1 capacity anchors): loss and grads equal the non-remat path."""
+    import dataclasses
+
+    from sgnn_tpu.parallel.edge_partition import (
+        _build_forward,
+        partition_plan,
+        scatter_to_shards,
+    )
+
+    cfg, stats, params, seq, n = setup()
+    spec, order = partition_plan(seq[:, -1], 4, cfg.connectivity_radius)
+    seq_sorted = scatter_to_shards(seq, order, spec)
+    types = np.zeros(spec.total_nodes, np.int32)
+    mask = np.zeros(spec.total_nodes, bool)
+    mask[:n] = True
+
+    def run(c):
+        fwd = jax.jit(_build_forward(mesh, c, stats, spec, "graph"))
+
+        def loss(p):
+            acc, strain, _ = fwd(
+                p, jnp.asarray(seq_sorted), jnp.asarray(types), jnp.asarray(mask)
+            )
+            return jnp.sum(acc**2) + jnp.sum(strain**2)
+
+        return jax.value_and_grad(loss)(params)
+
+    ref_l, ref_g = run(cfg)
+    got_l, got_g = run(dataclasses.replace(cfg, remat=True))
+    np.testing.assert_allclose(float(got_l), float(ref_l), rtol=1e-6)
+    for a, b_ in zip(jax.tree.leaves(got_g), jax.tree.leaves(ref_g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-5, atol=1e-7)
