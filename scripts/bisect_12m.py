@@ -65,6 +65,9 @@ def main():
             False if os.environ.get("REMAT") == "0"
             else (os.environ.get("REMAT") or True)
         ),
+        # PACKMAX: move the packed-gather node ceiling (confounds the
+        # N bisection otherwise — it sits at 800k, inside the window)
+        packed_gather_max_nodes=int(os.environ.get("PACKMAX", 800_000)),
     )
     stats = NormStats(jnp.zeros(2), jnp.ones(2), jnp.zeros(2), jnp.ones(2))
     params = simulator_init(jax.random.key(0), sim_cfg)

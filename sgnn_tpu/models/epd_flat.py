@@ -111,6 +111,10 @@ def _dot_wf32(x, w):
     return jnp.dot(x, w.astype(dt), preferred_element_type=dt)
 
 
+# probe knob (see _dot_wf32_bwd); read once at import
+_WGRAD_SWAP = bool(int(__import__("os").environ.get("WGRAD_SWAP", "0")))
+
+
 def _dot_wf32_fwd(x, w):
     return _dot_wf32(x, w), (x, w)
 
@@ -123,9 +127,19 @@ def _dot_wf32_bwd(res, g):
     # [R, K, H] tensors through _mlp_tail_in (models/multi_scale.py),
     # so d_w must reduce every non-feature axis, not just axis 0.
     bd = tuple(range(x.ndim - 1))
-    d_w = jax.lax.dot_general(
-        x, g, ((bd, bd), ((), ())), preferred_element_type=jnp.float32
-    )
+    if _WGRAD_SWAP:
+        # probe (r5, headline copy bucket): swap operand order so the
+        # OTHER edge-sized operand carries the contracted-major layout —
+        # moves which tensor XLA may relayout for the x^T-on-lanes
+        # weight-grad contraction. d_w = (g^T x)^T == x^T g exactly
+        # (same f32 accumulation, transpose of a [H, H] result is free).
+        d_w = jax.lax.dot_general(
+            g, x, ((bd, bd), ((), ())), preferred_element_type=jnp.float32
+        ).T
+    else:
+        d_w = jax.lax.dot_general(
+            x, g, ((bd, bd), ((), ())), preferred_element_type=jnp.float32
+        )
     return d_x, d_w.astype(w.dtype)
 
 
