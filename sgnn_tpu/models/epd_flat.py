@@ -441,13 +441,21 @@ def _process_decode(
     # everything else (MXU dots, LN, masks) recomputes. remat="xj_msg"
     # additionally saves the edge messages (the edge-MLP output), so the
     # bwd recompute is just LN/masks — trades +629 MB/layer at 614k for
-    # the ~25 ms of recomputed edge dots.
+    # the ~25 ms of recomputed edge dots. remat="full" saves NOTHING
+    # beyond the layer inputs (x, e) — the minimum-memory mode: the r5
+    # bisection showed the "1.2M compiler block" is HBM exhaustion at
+    # buffer assignment (700k grad peaks at 14.8 GiB temp with save-xj;
+    # 830k crosses the 16 GB ceiling and the compile helper crashes),
+    # so past ~800k nodes the xj residuals themselves must go.
     if remat:
-        names = ("xj", "msg") if remat == "xj_msg" else ("xj",)
-        layer_fn = jax.checkpoint(
-            _layer,
-            policy=jax.checkpoint_policies.save_only_these_names(*names),
-        )
+        if remat == "full":
+            layer_fn = jax.checkpoint(_layer)
+        else:
+            names = ("xj", "msg") if remat == "xj_msg" else ("xj",)
+            layer_fn = jax.checkpoint(
+                _layer,
+                policy=jax.checkpoint_policies.save_only_these_names(*names),
+            )
     else:
         layer_fn = _layer
     for li, step_params in enumerate(params["processor"]):

@@ -148,8 +148,11 @@ class SimulatorConfig:
     # True (== "xj") saves only the gathered sender tensor per layer;
     # "xj_msg" also saves the edge messages, skipping the bwd edge-MLP
     # recompute for +1 bf16 [M*K, H] residual per layer (629 MB at 614k)
-    # — use when HBM still has headroom at the target N.
-    remat: object = False  # False | True | "xj" | "xj_msg"
+    # — use when HBM still has headroom at the target N. "full" saves
+    # nothing beyond layer inputs (minimum memory; the xj residuals
+    # themselves recompute — needed past ~800k nodes where save-xj's
+    # temp HBM crosses the 16 GB chip ceiling, measured r5 bisection).
+    remat: object = False  # False | True | "xj" | "xj_msg" | "full"
 
     @property
     def slots(self) -> int:

@@ -107,8 +107,9 @@ class TrainConfig:
     # Rematerialize processor layers in the backward
     # (SimulatorConfig.remat): ~6% slower per step but required to fit
     # 500k+-node graphs in HBM. Off by default; "xj_msg" also saves the
-    # edge messages (less bwd recompute, +629 MB/layer at 614k).
-    remat: object = False  # false | true | "xj" | "xj_msg"
+    # edge messages (less bwd recompute, +629 MB/layer at 614k); "full"
+    # saves only layer inputs (minimum memory, for ~800k+ nodes).
+    remat: object = False  # false | true | "xj" | "xj_msg" | "full"
     # Optimizer steps per device dispatch (lax.scan inner loop,
     # train.make_train_multi_step). >1 amortizes host launch latency;
     # log_every/nsave_steps/ntraining_steps must be multiples of it.
