@@ -447,8 +447,15 @@ def _process_decode(
     # buffer assignment (700k grad peaks at 14.8 GiB temp with save-xj;
     # 830k crosses the 16 GB ceiling and the compile helper crashes),
     # so past ~800k nodes the xj residuals themselves must go.
+    # remat="group" nests two levels (binomial checkpointing): the layer
+    # stack splits into two checkpointed GROUPS whose residuals are just
+    # the group inputs — only ~2 (x, e) boundary pairs stay live instead
+    # of one per layer — and each layer inside is full-checkpointed for
+    # the recompute pass. Cuts the layer-input residual class from
+    # 5x(x, e) to 2x(x, e) (-4.7 GB at 1.2M) for one extra fwd recompute
+    # of each group; the mode that targets the 16 GiB ceiling itself.
     if remat:
-        if remat == "full":
+        if remat in ("full", "group"):
             layer_fn = jax.checkpoint(_layer)
         else:
             names = ("xj", "msg") if remat == "xj_msg" else ("xj",)
@@ -458,8 +465,20 @@ def _process_decode(
             )
     else:
         layer_fn = _layer
-    for li, step_params in enumerate(params["processor"]):
-        x, e = layer_fn(step_params, x, e, xj0 if li == 0 else None)
+    if remat == "group":
+        def _run_group(group_params, x, e, xj0_g):
+            for li, sp in enumerate(group_params):
+                x, e = layer_fn(sp, x, e, xj0_g if li == 0 else None)
+            return x, e
+
+        run_group = jax.checkpoint(_run_group, static_argnums=())
+        stack = params["processor"]
+        mid = (len(stack) + 1) // 2
+        x, e = run_group(stack[:mid], x, e, xj0)
+        x, e = run_group(stack[mid:], x, e, None)
+    else:
+        for li, step_params in enumerate(params["processor"]):
+            x, e = layer_fn(step_params, x, e, xj0 if li == 0 else None)
 
     # --- decoder (graph_network.py:321-322): node MLP, no LayerNorm --------
     return mlp_apply(params["decoder"], x)

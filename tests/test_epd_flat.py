@@ -452,12 +452,12 @@ def test_remat_matches_plain(rng):
         )
 
     ref = run(params, False)
-    for mode in (True, "xj_msg", "full"):
+    for mode in (True, "xj_msg", "full", "group"):
         got = run(params, mode)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
     g_ref = jax.grad(lambda p: jnp.sum(run(p, False) ** 2))(params)
-    for mode in (True, "xj_msg", "full"):
+    for mode in (True, "xj_msg", "full", "group"):
         g_got = jax.grad(lambda p: jnp.sum(run(p, mode) ** 2))(params)
         for a, b_ in zip(jax.tree.leaves(g_got), jax.tree.leaves(g_ref)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-6, atol=1e-7)
