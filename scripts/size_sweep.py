@@ -60,10 +60,16 @@ def run_one(n_particles, batch):
         # lattice is x-major sorted: neighbors are within one x-column
         # (ny indices) -> banded gathers apply (ops/sym_gather.py)
         band_nodes=max(int(np.sqrt(n_particles / 4)), 2) + 8,
-        # layer remat: the un-rematerialized 614k+ train step exceeds
-        # 16 GB HBM (ResourceExhausted). REMAT=xj_msg additionally saves
-        # the edge messages (less bwd recompute, +629 MB/layer at 614k).
-        remat=(os.environ.get("REMAT") or (n_particles >= 500_000)),
+        # layer remat by scale (r5 bisection: the 16 GiB temp-HBM wall
+        # is the binding constraint; save-xj peaks 14.8 GiB at 700k,
+        # "full" fits 830k at 15.99 GiB, "group" cuts the layer-input
+        # residual class for ~1M+). REMAT env overrides.
+        remat=(os.environ.get("REMAT") or (
+            False if n_particles < 500_000
+            else True if n_particles <= 700_000
+            else "full" if n_particles <= 850_000
+            else "group"
+        )),
     )
     stats = NormStats(jnp.zeros(2), jnp.ones(2), jnp.zeros(2), jnp.ones(2))
     cfg = TrainConfig(batch_size=batch, noise_std=0.02, input_sequence_length=S,
