@@ -110,7 +110,7 @@ def run_one(n_particles, batch):
 
 def main():
     entries = [(4797, 8), (19188, 2), (76752, 1), (307008, 1),
-               (614016, 1), (1228032, 1)]
+               (614016, 1), (830208, 1), (1228032, 1)]
     if len(sys.argv) > 1:  # run one entry (compiles are minutes each)
         i = int(sys.argv[1])
         entries = entries[i : i + 1]
