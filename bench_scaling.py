@@ -127,7 +127,7 @@ def run_graph_at(num_shards, n_particles, layers, hidden, s, iters):
         neighbor_slots=8, domain=(tuple(lo.tolist()), tuple(hi.tolist())),
         compute_dtype="bfloat16", symmetric_gather=True,
         band_nodes=(
-            max(int(np.sqrt(n_particles / 4)), 2) + 8
+            2 * max(int(np.sqrt(n_particles / 4)), 2) + 16
             if os.environ.get("GRAPH_BAND") else None
         ),
         remat=(os.environ.get("REMAT") or n_particles >= 500_000),

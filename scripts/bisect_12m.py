@@ -32,7 +32,14 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from scripts.size_sweep import HIDDEN, LAYERS, S, lattice
+from scripts.size_sweep import lattice
+from scripts.size_sweep import HIDDEN as _H, LAYERS as _L, S as _S
+
+# H/LAYERS/SEQ env overrides: halving HIDDEN halves every edge-tensor
+# byte count, separating memory-scaling failures from index/count limits
+HIDDEN = int(os.environ.get("H", _H))
+LAYERS = int(os.environ.get("L", _L))
+S = int(os.environ.get("SEQ", _S))
 from sgnn_tpu.physics.simulator import (
     NormStats,
     SimulatorConfig,
@@ -59,7 +66,7 @@ def main():
         compute_dtype="bfloat16",
         band_nodes=(
             None if os.environ.get("BAND", "1") == "0"
-            else max(int(np.sqrt(n_particles / 4)), 2) + 8
+            else 2 * max(int(np.sqrt(n_particles / 4)), 2) + 16
         ),
         remat=(
             False if os.environ.get("REMAT") == "0"
@@ -94,7 +101,14 @@ def main():
                     p, sim_cfg, stats, s[:, :, -1], jnp.zeros_like(s), s, types
                 )
                 return jnp.mean((acc - tgt) ** 2) + jnp.mean(strain**2)
-            jax.jit(jax.grad(loss)).lower(params, seq).compile()
+            compiled = jax.jit(jax.grad(loss)).lower(params, seq).compile()
+            try:
+                ma = compiled.memory_analysis()
+                print(f"memory: temp={ma.temp_size_in_bytes/2**30:.2f} GiB "
+                      f"args={ma.argument_size_in_bytes/2**30:.2f} "
+                      f"out={ma.output_size_in_bytes/2**30:.2f}")
+            except Exception as me:  # noqa: BLE001
+                print(f"memory_analysis unavailable: {me}")
         else:  # step variants
             cfg = TrainConfig(batch_size=1, noise_std=0.02,
                               input_sequence_length=S, hidden_dim=HIDDEN,

@@ -57,9 +57,17 @@ def run_one(n_particles, batch):
         input_sequence_length=S, connectivity_radius=0.6, max_neighbors=20,
         neighbor_slots=8, domain=(tuple(extent[0]), tuple(extent[1])),
         symmetric_gather=True, compute_dtype="bfloat16",
-        # lattice is x-major sorted: neighbors are within one x-column
-        # (ny indices) -> banded gathers apply (ops/sym_gather.py)
-        band_nodes=max(int(np.sqrt(n_particles / 4)), 2) + 8,
+        # lattice is x-major sorted: CLEAN neighbors live within one
+        # x-column (ny indices), but the training graph is built from
+        # NOISY positions — the reference's double-cumsum position noise
+        # (sigma ~0.12, max ~0.4 at noise_std=0.02, S=11) bridges ~1% of
+        # the 1.0-apart two-column pairs under r=0.6, so the band must
+        # cover TWO columns (r5: the one-column band left ~0.4% of real
+        # edges outside the band at 1M nodes — caught by the
+        # train/band_violations guard, now sized away; three-column
+        # bridging needs a 6-sigma tail, ~1e-7/pair/step, which is what
+        # the guard remains for).
+        band_nodes=2 * max(int(np.sqrt(n_particles / 4)), 2) + 16,
         # layer remat by scale (r5 bisection: the 16 GiB temp-HBM wall
         # is the binding constraint; save-xj peaks 14.8 GiB at 700k,
         # "full" fits 830k at 15.99 GiB, "group" cuts the layer-input
