@@ -162,16 +162,43 @@ def run_graph_at(num_shards, n_particles, layers, hidden, s, iters):
     state = {"params": params, "opt_state": tx.init(params),
              "step": jnp.asarray(0, jnp.int32)}
     state = jax.device_put(state, NamedSharding(mesh, P()))
-    step = make_partitioned_train_step(mesh, sim_cfg, stats, spec, tx,
-                                       noise_std=0.001)
     key = jax.random.key(1)
-    state, m = step(state, batch, key)
-    jax.block_until_ready(m)
-    t0 = time.perf_counter()
-    for _ in range(iters):
+    # SCAN=K: K optimizer steps per dispatch via the production
+    # make_partitioned_multi_step (lax.scan) — removes per-dispatch host
+    # RTT from the anchor the same way bench.py's scanned loop does for
+    # the headline (tunnel dispatch noise is several ms on sub-30 ms
+    # programs; see CLAUDE.md).
+    scan_k = int(os.environ.get("SCAN", "0"))
+    if scan_k:
+        from sgnn_tpu.parallel.edge_partition import make_partitioned_multi_step
+
+        batches = jax.tree.map(
+            lambda v: jax.device_put(
+                jnp.broadcast_to(v[None], (scan_k,) + v.shape),
+                NamedSharding(mesh, P(None, "graph")),
+            ),
+            batch,
+        )
+        mstep = make_partitioned_multi_step(mesh, sim_cfg, stats, spec, tx,
+                                            scan_k, noise_std=0.001)
+        state, m = mstep(state, batches, key)
+        jax.block_until_ready(m)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, m = mstep(state, batches, key)
+        jax.block_until_ready(m)
+        m = jax.tree.map(lambda v: v[-1], m)
+        dt = (time.perf_counter() - t0) / (iters * scan_k)
+    else:
+        step = make_partitioned_train_step(mesh, sim_cfg, stats, spec, tx,
+                                           noise_std=0.001)
         state, m = step(state, batch, key)
-    jax.block_until_ready(m)
-    dt = (time.perf_counter() - t0) / iters
+        jax.block_until_ready(m)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, m = step(state, batch, key)
+        jax.block_until_ready(m)
+        dt = (time.perf_counter() - t0) / iters
     return {
         "shards": num_shards,
         "nodes": n,
@@ -250,16 +277,49 @@ def run_ms_graph_at(num_shards, n_particles, layers, hidden, s, iters):
     state = {"params": params, "opt_state": tx.init(params),
              "step": jnp.asarray(0, jnp.int32)}
     state = jax.device_put(state, NamedSharding(mesh, P()))
-    step = make_ms_partitioned_train_step(mesh, sim_cfg, stats, spec, tx,
-                                          noise_std=0.001)
     key = jax.random.key(1)
-    state, m = step(state, batch, key)
-    jax.block_until_ready(m)
-    t0 = time.perf_counter()
-    for _ in range(iters):
+    # SCAN=K: K steps per dispatch (see run_graph_at) — the ms batch
+    # leaves INCLUDING the static graph arrays carry the scan axis.
+    scan_k = int(os.environ.get("SCAN", "0"))
+    if scan_k:
+        from sgnn_tpu.parallel.ms_partition import make_ms_partitioned_multi_step
+
+        batches = jax.tree.map(
+            lambda v: jax.device_put(
+                jnp.broadcast_to(v[None], (scan_k,) + v.shape),
+                NamedSharding(mesh, P(None, "graph")),
+            ),
+            batch,
+        )
+        mstep = make_ms_partitioned_multi_step(mesh, sim_cfg, stats, spec, tx,
+                                               scan_k, noise_std=0.001)
+        state, m = mstep(state, batches, key)
+        jax.block_until_ready(m)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, m = mstep(state, batches, key)
+        jax.block_until_ready(m)
+        dt = (time.perf_counter() - t0) / (iters * scan_k)
+    else:
+        step = make_ms_partitioned_train_step(mesh, sim_cfg, stats, spec, tx,
+                                              noise_std=0.001)
         state, m = step(state, batch, key)
-    jax.block_until_ready(m)
-    dt = (time.perf_counter() - t0) / iters
+        jax.block_until_ready(m)
+        if os.environ.get("MS_TRACE"):  # per-op trace of the sharded step
+            from sgnn_tpu.utils.profiling import start_trace, stop_trace, summarize_trace
+
+            start_trace(os.environ["MS_TRACE"])
+            for _ in range(3):
+                state, m = step(state, batch, key)
+            jax.block_until_ready(m)
+            stop_trace()
+            for row in summarize_trace(os.environ["MS_TRACE"], top=25):
+                print(row)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, m = step(state, batch, key)
+        jax.block_until_ready(m)
+        dt = (time.perf_counter() - t0) / iters
     updates = counts["g2m"] + counts["m2g"] + counts["m2m"] * layers
     return {
         "shards": num_shards,
@@ -343,15 +403,30 @@ def run_ms_single_at(n_particles, layers, hidden, s, iters):
         "node_mask": jnp.ones((1, n), bool),
         "graph": graph,
     }
-    step = ms_step(sim_cfg, stats, cfg, tx)
     key = jax.random.key(1)
-    state, m = step(state, batch, key)
-    jax.block_until_ready(m)
-    t0 = time.perf_counter()
-    for _ in range(iters):
+    scan_k = int(os.environ.get("SCAN", "0"))
+    if scan_k:  # K steps/dispatch — same protocol as the sharded rows
+        from sgnn_tpu.train.train_multi_scale import make_train_multi_step
+
+        batches = jax.tree.map(
+            lambda v: jnp.broadcast_to(v[None], (scan_k,) + v.shape), batch)
+        mstep = make_train_multi_step(sim_cfg, stats, cfg, tx, scan_k)
+        state, m = mstep(state, batches, key)
+        jax.block_until_ready(m)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, m = mstep(state, batches, key)
+        jax.block_until_ready(m)
+        dt = (time.perf_counter() - t0) / (iters * scan_k)
+    else:
+        step = ms_step(sim_cfg, stats, cfg, tx)
         state, m = step(state, batch, key)
-    jax.block_until_ready(m)
-    dt = (time.perf_counter() - t0) / iters
+        jax.block_until_ready(m)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, m = step(state, batch, key)
+        jax.block_until_ready(m)
+        dt = (time.perf_counter() - t0) / iters
     updates = counts["g2m"] + counts["m2g"] + counts["m2m"] * layers
     return {
         "shards": 1,
