@@ -34,6 +34,15 @@ from sgnn_tpu.train.config import TrainConfig
 from sgnn_tpu.train.train import make_train_step
 
 
+def _fence(x):
+    """Real device fence: the remote-TPU tunnel's block_until_ready is
+    not reliable (CLAUDE.md) — a scalar fetch is the only sync that
+    provably drains the queue (same fix as bench.py). One leaf is
+    enough: device execution is in-order, so materializing any output
+    of the last step implies every prior step completed."""
+    return float(jnp.sum(jax.tree.leaves(x)[0]))
+
+
 def lattice(n, spacing=0.5):
     ny = max(int(np.sqrt(n / 4)), 2)
     nx = -(-n // ny)
@@ -80,11 +89,11 @@ def run_at(num_devices, batch_per_device, n_particles, layers, hidden, s, iters)
     step = make_dp_train_step(make_train_step(sim_cfg, stats, cfg, tx), mesh)
     key = jax.random.key(1)
     state, m = step(state, batch, key)
-    jax.block_until_ready(m)
+    _fence(m)
     t0 = time.perf_counter()
     for _ in range(iters):
         state, m = step(state, batch, key)
-    jax.block_until_ready(m)
+    _fence(m)
     dt = (time.perf_counter() - t0) / iters
     return {
         "devices": num_devices,
@@ -182,22 +191,22 @@ def run_graph_at(num_shards, n_particles, layers, hidden, s, iters):
         mstep = make_partitioned_multi_step(mesh, sim_cfg, stats, spec, tx,
                                             scan_k, noise_std=0.001)
         state, m = mstep(state, batches, key)
-        jax.block_until_ready(m)
+        _fence(m)
         t0 = time.perf_counter()
         for _ in range(iters):
             state, m = mstep(state, batches, key)
-        jax.block_until_ready(m)
+        _fence(m)
         m = jax.tree.map(lambda v: v[-1], m)
         dt = (time.perf_counter() - t0) / (iters * scan_k)
     else:
         step = make_partitioned_train_step(mesh, sim_cfg, stats, spec, tx,
                                            noise_std=0.001)
         state, m = step(state, batch, key)
-        jax.block_until_ready(m)
+        _fence(m)
         t0 = time.perf_counter()
         for _ in range(iters):
             state, m = step(state, batch, key)
-        jax.block_until_ready(m)
+        _fence(m)
         dt = (time.perf_counter() - t0) / iters
     return {
         "shards": num_shards,
@@ -294,31 +303,31 @@ def run_ms_graph_at(num_shards, n_particles, layers, hidden, s, iters):
         mstep = make_ms_partitioned_multi_step(mesh, sim_cfg, stats, spec, tx,
                                                scan_k, noise_std=0.001)
         state, m = mstep(state, batches, key)
-        jax.block_until_ready(m)
+        _fence(m)
         t0 = time.perf_counter()
         for _ in range(iters):
             state, m = mstep(state, batches, key)
-        jax.block_until_ready(m)
+        _fence(m)
         dt = (time.perf_counter() - t0) / (iters * scan_k)
     else:
         step = make_ms_partitioned_train_step(mesh, sim_cfg, stats, spec, tx,
                                               noise_std=0.001)
         state, m = step(state, batch, key)
-        jax.block_until_ready(m)
+        _fence(m)
         if os.environ.get("MS_TRACE"):  # per-op trace of the sharded step
             from sgnn_tpu.utils.profiling import start_trace, stop_trace, summarize_trace
 
             start_trace(os.environ["MS_TRACE"])
             for _ in range(3):
                 state, m = step(state, batch, key)
-            jax.block_until_ready(m)
+            _fence(m)
             stop_trace()
             for row in summarize_trace(os.environ["MS_TRACE"], top=25):
                 print(row)
         t0 = time.perf_counter()
         for _ in range(iters):
             state, m = step(state, batch, key)
-        jax.block_until_ready(m)
+        _fence(m)
         dt = (time.perf_counter() - t0) / iters
     updates = counts["g2m"] + counts["m2g"] + counts["m2m"] * layers
     return {
@@ -412,20 +421,20 @@ def run_ms_single_at(n_particles, layers, hidden, s, iters):
             lambda v: jnp.broadcast_to(v[None], (scan_k,) + v.shape), batch)
         mstep = make_train_multi_step(sim_cfg, stats, cfg, tx, scan_k)
         state, m = mstep(state, batches, key)
-        jax.block_until_ready(m)
+        _fence(m)
         t0 = time.perf_counter()
         for _ in range(iters):
             state, m = mstep(state, batches, key)
-        jax.block_until_ready(m)
+        _fence(m)
         dt = (time.perf_counter() - t0) / (iters * scan_k)
     else:
         step = ms_step(sim_cfg, stats, cfg, tx)
         state, m = step(state, batch, key)
-        jax.block_until_ready(m)
+        _fence(m)
         t0 = time.perf_counter()
         for _ in range(iters):
             state, m = step(state, batch, key)
-        jax.block_until_ready(m)
+        _fence(m)
         dt = (time.perf_counter() - t0) / iters
     updates = counts["g2m"] + counts["m2g"] + counts["m2m"] * layers
     return {

@@ -176,8 +176,15 @@ def _dense_shard_sizes(
         sr_max = max(sr_max, len(scounts))
         sk_max = max(sk_max, int(scounts.max()))
     up = lambda v, m: -(-v // m) * m
-    return (up(r_max, pad_multiple), up(k_max, 4), up(sr_max, pad_multiple),
-            up(sk_max, 4))
+    # K stays EXACT (max over shards, no round-up): the slot dim is the
+    # middle axis of [R, K, H] tensors (no sublane-tiling penalty for
+    # odd K there — the single-chip dense path uses exact degrees too,
+    # r1 "TIGHT per-type widths" entry), and every padded slot row runs
+    # the full 5-layer m2m stack: rounding 9 -> 12 cost ~33% extra slot
+    # rows at the 76k anchor (r5, measured +73% vs matched single-chip
+    # before this fix).
+    return (up(r_max, pad_multiple), k_max, up(sr_max, pad_multiple),
+            sk_max)
 
 
 def plan_ms_partition(
