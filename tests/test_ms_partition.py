@@ -431,3 +431,20 @@ def test_ms_partitioned_dense_train_step_matches_single_device(mesh, rng):
         jax.tree.leaves(new_state["params"]), jax.tree.leaves(ref_params)
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6)
+
+
+def test_dense_shard_sizes_use_exact_slot_widths():
+    """r5 regression: _dense_shard_sizes must NOT round the slot width K
+    up (every padded slot row runs the full m2m stack; the old
+    round-to-4 cost +73% vs matched single-chip at the 76k TPU anchor,
+    BASELINE.md). Rows stay padded to pad_multiple; K and tsp_K are the
+    exact per-shard maxima."""
+    from sgnn_tpu.parallel.ms_partition import _dense_shard_sizes
+
+    # one shard, receiver 0 has degree 5 (odd, not a multiple of 4)
+    senders = np.array([0, 1, 2, 3, 4, 5, 6], np.int64)
+    receivers = np.array([0, 0, 0, 0, 0, 1, 2], np.int64)
+    rows, k, tsp_rows, tsp_k = _dense_shard_sizes(senders, receivers, per=64, num_shards=1)
+    assert k == 5  # exact max degree, no round-up
+    assert tsp_k == 1  # every sender appears once
+    assert rows % 8 == 0 and tsp_rows % 8 == 0  # rows keep the pad multiple
