@@ -249,9 +249,12 @@ def run_ms_graph_at(num_shards, n_particles, layers, hidden, s, iters):
     tx = optax.adam(1e-3)
     # MS_DENSE=1: per-shard dense-slot plans (r5 — the fast layout under
     # partitioning); default COO matches the r3/r4 anchor rows
+    # MS_HALO: pin the halo width (e.g. MS_HALO=0 at shards=1 isolates
+    # the per-block halo-exchange cost against the matched ms_single row)
     spec, order, sgraph = plan_ms_partition(
         sim_cfg.graph_config, pos, num_shards,
         layout="dense" if os.environ.get("MS_DENSE") else "coo",
+        halo=(int(os.environ["MS_HALO"]) if "MS_HALO" in os.environ else None),
     )
     s_ms = s  # --seq flows through (ADVICE r4: was hardcoded to 2)
     seq = (
