@@ -320,12 +320,15 @@ def _process_decode(
     implementation (bf16 edge tensors, fused edge block, agg-fold)
     instead of re-deriving the math (VERDICT r3 #2/#6). It receives
     proj_j already cast to compute_dtype (bf16 halo exchange ships half
-    the bytes). Mutually exclusive with ``rev``/``xj0``.
+    the bytes). Mutually exclusive with ``rev``; composes with ``xj0``
+    (r5: the sharded path's packed ext-table gather produces layer 0's
+    senders, and gather_fn serves layers 1+ — same split as the
+    single-chip packed fused entry).
     """
     # enforce the documented exclusivity: a caller passing both would get
-    # rev/xj0 silently ignored, changing the VJP path (ADVICE r4)
-    assert gather_fn is None or (rev is None and xj0 is None), (
-        "gather_fn is mutually exclusive with rev/xj0"
+    # rev silently ignored, changing the VJP path (ADVICE r4)
+    assert gather_fn is None or rev is None, (
+        "gather_fn is mutually exclusive with rev"
     )
     m = x.shape[0]
     d = x.shape[-1]

@@ -278,12 +278,6 @@ def _sharded_forward(
         feats.append(embedding_apply(params["type_embedding"], particle_types))
     node_features = jnp.concatenate(feats, axis=-1)
 
-    # --- edge features (sender positions come from the ext array) --------
-    disp = (pos_ext[senders] - last_pos[:, None, :]) / cfg.connectivity_radius
-    dist = jnp.linalg.norm(disp, axis=-1, keepdims=True)
-    edge_features = jnp.concatenate([disp, dist], axis=-1)
-    edge_features = edge_features * e_mask[..., None].astype(edge_features.dtype)
-
     # --- encode (local) + tuned processor/decoder -------------------------
     # The processor/decoder run the SAME tuned implementation as the
     # single-chip flat path (models/epd_flat._process_decode: bf16 edge
@@ -293,7 +287,7 @@ def _sharded_forward(
     # from the [N_ext, H] extended table (VERDICT r3 #2/#6: one tuned
     # implementation instead of a re-derivation).
     from sgnn_tpu.nn.core import layer_norm_apply, mlp_apply
-    from sgnn_tpu.models.epd_flat import _process_decode
+    from sgnn_tpu.models.epd_flat import _process_decode, _split_first_layer
 
     k = senders.shape[1]
     epd = params["epd"]
@@ -303,6 +297,56 @@ def _sharded_forward(
     x = layer_norm_apply(
         epd["encoder"]["node"]["ln"], mlp_apply(epd["encoder"]["node"]["mlp"], node_features)
     )
+    d = x.shape[-1]
+
+    senders_flat = senders.reshape(-1)  # ext-space indices
+
+    use_sym = cfg.symmetric_gather and n_local >= _SYM_MIN_LOCAL_ROWS
+    n_ext = pos_ext.shape[0]
+    use_packed = use_sym and n_ext <= cfg.packed_gather_max_nodes
+    rev = None
+    xj0 = None
+    if use_packed:
+        # Packed 3-stream gather over the EXT rows (r5): sender
+        # positions (edge features), senders-of-senders (reverse-edge
+        # index) and layer 0's sender projections ride ONE f32 table —
+        # the single-chip ~3-gathers-in-1 lever (ops/sym_gather.py)
+        # that the 307k sharded profile showed as two ~9 ms unfused
+        # fan-out gathers (BASELINE.md r5). Receivers and senders are
+        # BOTH ext-indexed here, so the band bound holds with no halo
+        # offset, and the packed VJP needs no local-range mask: the
+        # local slice below zero-pads discarded rows' cotangents in its
+        # AD transpose, so halo-duplicate edges (owned by neighbor
+        # shards) contribute exactly nothing; the local d_proj then
+        # flows back through the halo exchange's transpose as usual.
+        from sgnn_tpu.ops.sym_gather import packed_sym_gather
+
+        (_, w_j0, _), _ = _split_first_layer(
+            epd["processor"][0]["edge"]["mlp"], (d, d, d)
+        )
+        proj_j0 = jnp.dot(x, w_j0, preferred_element_type=x.dtype)
+        proj0_ext = _halo_exchange(proj_j0, halo, axis)
+        g_aux, xj_all, rev_pos_ext, rev_ok_ext = packed_sym_gather(
+            jax.lax.stop_gradient(pos_ext),
+            proj0_ext,
+            nl_ext.senders,
+            nl_ext.mask,
+            compute_dtype,
+            cfg.band_nodes,
+        )
+        lo = halo * k
+        hi = (halo + n_local) * k
+        sender_pos = g_aux[lo:hi].reshape(n_local, k, -1)
+        xj0 = xj_all[lo:hi]
+    else:
+        sender_pos = pos_ext[senders]
+
+    # --- edge features (sender positions come from the ext array) --------
+    disp = (sender_pos - last_pos[:, None, :]) / cfg.connectivity_radius
+    dist = jnp.linalg.norm(disp, axis=-1, keepdims=True)
+    edge_features = jnp.concatenate([disp, dist], axis=-1)
+    edge_features = edge_features * e_mask[..., None].astype(edge_features.dtype)
+
     e = layer_norm_apply(
         epd["encoder"]["edge"]["ln"],
         mlp_apply(epd["encoder"]["edge"]["mlp"], edge_features.reshape(n_local * k, -1)),
@@ -311,25 +355,24 @@ def _sharded_forward(
     if compute_dtype is not None:
         e = e.astype(compute_dtype)
 
-    senders_flat = senders.reshape(-1)  # ext-space indices
-
-    rev = None
-    if cfg.symmetric_gather and n_local >= _SYM_MIN_LOCAL_ROWS:
+    if use_sym:
         # Scatter-free sender-gather VJP in the sharded setting (the
         # single-chip path's 71->56 ms lever, ops/sym_gather.py): the
         # radius graph is symmetric, so the edges where ext row v is the
         # SENDER are the reverses of v's own incoming edges. Build the
         # reverse index over the FULL ext row set (nl_ext covers halo
-        # rows too), then keep only reverses that land in the local
-        # edge table — contributions from edges owned by neighbor
-        # shards flow back through the halo exchange's AD transpose
-        # (ppermute inverse + add), so the total d_proj is exact.
-        # Same precondition as single-chip: max degree <= slots.
-        from sgnn_tpu.ops.sym_gather import reverse_edge_positions
+        # rows too — the packed gather above already produced it), then
+        # keep only reverses that land in the local edge table —
+        # contributions from edges owned by neighbor shards flow back
+        # through the halo exchange's AD transpose (ppermute inverse +
+        # add), so the total d_proj is exact. Same precondition as
+        # single-chip: max degree <= slots.
+        if not use_packed:
+            from sgnn_tpu.ops.sym_gather import reverse_edge_positions
 
-        rev_pos_ext, rev_ok_ext = reverse_edge_positions(
-            nl_ext.senders, nl_ext.mask
-        )
+            rev_pos_ext, rev_ok_ext = reverse_edge_positions(
+                nl_ext.senders, nl_ext.mask
+            )
         lo = halo * k
         hi = (halo + n_local) * k
         rev_ok = rev_ok_ext & (rev_pos_ext >= lo) & (rev_pos_ext < hi)
@@ -361,7 +404,7 @@ def _sharded_forward(
     pred = _process_decode(
         epd, x, e, senders_flat, maskf, k,
         use_pallas=False, rev=None, compute_dtype=compute_dtype,
-        gather_fn=gather_fn, remat=cfg.remat,
+        gather_fn=gather_fn, xj0=xj0, remat=cfg.remat,
     )
     return pred[:, : cfg.dim], pred[:, -1], violations
 

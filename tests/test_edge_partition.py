@@ -694,3 +694,71 @@ def test_partitioned_remat_matches_plain(mesh):
     np.testing.assert_allclose(float(got_l), float(ref_l), rtol=1e-6)
     for a, b_ in zip(jax.tree.leaves(got_g), jax.tree.leaves(ref_g)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-5, atol=1e-7)
+
+
+def test_partitioned_packed_banded_grads_match(mesh, monkeypatch):
+    """r5 packed ext-table gather (the single-chip 3-streams-in-1 lever
+    in the sharded forward) composed with banded gathers: with sym
+    engagement forced down to test scale and banded thresholds forced
+    down, outputs and grads must equal the plain scatter-add sharded
+    path. Covers the packed VJP's zero-cotangent handling of
+    halo-duplicate edges across 4 interior boundaries."""
+    import dataclasses
+
+    from sgnn_tpu.ops import sym_gather as sg
+    from sgnn_tpu.parallel import edge_partition as ep
+    from sgnn_tpu.parallel.edge_partition import (
+        _build_forward,
+        partition_plan,
+        scatter_to_shards,
+    )
+
+    cfg, stats, params, seq, n = setup()
+    base = dataclasses.replace(
+        cfg, max_neighbors=20, domain=((-2.0, -2.0), (40.0, 6.0)),
+    )
+    spec, order = partition_plan(seq[:, -1], 4, base.connectivity_radius)
+    seq_sorted = scatter_to_shards(seq, order, spec)
+    types = np.zeros(spec.total_nodes, np.int32)
+    mask = np.zeros(spec.total_nodes, bool)
+    mask[:n] = True
+
+    def run(c):
+        fwd = jax.jit(_build_forward(mesh, c, stats, spec, "graph"))
+
+        def loss(p):
+            acc, strain, _ = fwd(
+                p, jnp.asarray(seq_sorted), jnp.asarray(types),
+                jnp.asarray(mask),
+            )
+            return jnp.sum(acc**2) + jnp.sum(strain**2)
+
+        out = fwd(params, jnp.asarray(seq_sorted), jnp.asarray(types),
+                  jnp.asarray(mask))
+        return out, jax.grad(loss)(params)
+
+    (ref_acc, ref_strain, ref_v), ref_g = run(base)  # plain scatter path
+    assert int(ref_v) == 0
+
+    monkeypatch.setattr(ep, "_SYM_MIN_LOCAL_ROWS", 0)  # engage sym+packed
+    sym_cfg = dataclasses.replace(base, symmetric_gather=True)
+    (acc, strain, v1), g1 = run(sym_cfg)
+    assert int(v1) == 0
+    np.testing.assert_allclose(np.asarray(acc), np.asarray(ref_acc),
+                               rtol=1e-6, atol=1e-7)
+    for a, b_ in zip(jax.tree.leaves(g1), jax.tree.leaves(ref_g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=1e-6)
+
+    monkeypatch.setattr(sg, "_BANDED_MIN_ROWS", 64)
+    monkeypatch.setattr(sg, "_BANDED_MIN_FANOUT_ROWS", 64)
+    monkeypatch.setattr(sg, "_BANDED_TILE_ROWS", 128)
+    banded_cfg = dataclasses.replace(sym_cfg, band_nodes=64)
+    (acc_b, strain_b, v2), g2 = run(banded_cfg)
+    assert int(v2) == 0
+    # banded packed == unbanded packed bit-exact (same contract as the
+    # single-chip banded path)
+    np.testing.assert_array_equal(np.asarray(acc_b), np.asarray(acc))
+    np.testing.assert_array_equal(np.asarray(strain_b), np.asarray(strain))
+    for a, b_ in zip(jax.tree.leaves(g2), jax.tree.leaves(g1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
