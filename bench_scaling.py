@@ -203,6 +203,16 @@ def run_graph_at(num_shards, n_particles, layers, hidden, s, iters):
                                            noise_std=0.001)
         state, m = step(state, batch, key)
         _fence(m)
+        if os.environ.get("GRAPH_TRACE"):  # per-op trace of the sharded step
+            from sgnn_tpu.utils.profiling import start_trace, stop_trace, summarize_trace
+
+            start_trace(os.environ["GRAPH_TRACE"])
+            for _ in range(3):
+                state, m = step(state, batch, key)
+            _fence(m)
+            stop_trace()
+            for row in summarize_trace(os.environ["GRAPH_TRACE"], top=30):
+                print(row)
         t0 = time.perf_counter()
         for _ in range(iters):
             state, m = step(state, batch, key)
